@@ -1,0 +1,164 @@
+"""Hold-out retrieval evaluator.
+
+Contract parity with the reference ``retrieval/evaluator.py:12-275``:
+same constructor, same seeded stratified split (``random.Random(seed)``
+shuffle per label — kept on host, bit-identical), same result keys
+(``top{k}``, ``text_top{k}``, ``image_top{k}``, ``weighted`` variants,
+``all_top_labels_top5``).
+
+TPU-native: every per-query numpy loop in the reference becomes one
+batched (q, dim) x (dim, n) MXU matmul + ``lax.top_k``.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from emr2a_tpu.eval.voting import weighted_vote
+from emr2a_tpu.ops.fusion import early_fusion, late_fusion
+from emr2a_tpu.ops.similarity import cosine_similarity_matrix
+from emr2a_tpu.ops.stats import fit_whiten_transform, whiten_no_pca
+from emr2a_tpu.ops.topk import topk_scores
+
+
+class RetrievalEvaluator:
+
+    def __init__(self, test_ratio: float = 0.2, seed: int = 42,
+                 use_pca: bool = False, pca_dim: int = 128):
+        self.test_ratio = test_ratio
+        self.seed = seed
+        self.use_pca = use_pca
+        self.pca_dim = pca_dim
+        self.rng = random.Random(seed)
+
+    def stratified_split(self, labels: List[str]) -> Tuple[List[int], List[int]]:
+        """Seeded per-label shuffle split. Parity: evaluator.py:26-48."""
+        label_to_indices: Dict[str, List[int]] = {}
+        for idx, label in enumerate(labels):
+            label_to_indices.setdefault(str(label), []).append(idx)
+
+        train_idx: List[int] = []
+        test_idx: List[int] = []
+        for _, idxs in label_to_indices.items():
+            self.rng.shuffle(idxs)
+            if len(idxs) <= 1:
+                train_idx.extend(idxs)
+                continue
+            test_count = int(round(len(idxs) * self.test_ratio))
+            test_count = max(1, min(test_count, len(idxs) - 1))
+            test_idx.extend(idxs[:test_count])
+            train_idx.extend(idxs[test_count:])
+        return train_idx, test_idx
+
+    def process_embeddings(self, train_embeddings: np.ndarray,
+                           test_embeddings: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Scaler → optional clamped PCA → row-L2, jitted.
+        Parity: evaluator.py:50-77."""
+        train = jnp.asarray(train_embeddings, jnp.float32)
+        test = jnp.asarray(test_embeddings, jnp.float32)
+        if self.use_pca:
+            n_samples, n_features = train.shape
+            n_components = min(self.pca_dim, n_samples - 1, n_features)
+            if n_components > 0:
+                tr, te = fit_whiten_transform(train, test, n_components)
+                return np.asarray(tr), np.asarray(te)
+        tr, te = whiten_no_pca(train, test)
+        return np.asarray(tr), np.asarray(te)
+
+    def align_dims(self, train_text, test_text, train_image, test_image):
+        if train_text is not None and test_text is not None:
+            train_text, test_text = self.process_embeddings(train_text, test_text)
+        if train_image is not None and test_image is not None:
+            train_image, test_image = self.process_embeddings(train_image, test_image)
+        return train_text, test_text, train_image, test_image
+
+    # -- batched internals --
+
+    def _scores(self, test_emb, train_emb) -> jnp.ndarray:
+        """Cosine score matrix; the reference re-normalizes inside its
+        similarity call (similarity.py:4-7), so do the same here."""
+        return cosine_similarity_matrix(jnp.asarray(test_emb),
+                                        jnp.asarray(train_emb), normalize=True)
+
+    def _topk_hits(self, scores, train_labels, test_labels, top_k) -> float:
+        _, idx = topk_scores(scores, top_k)
+        idx = np.asarray(idx)
+        correct = sum(
+            1 for i, t in enumerate(test_labels)
+            if t in [train_labels[j] for j in idx[i]])
+        return correct / len(test_labels)
+
+    def _weighted_acc(self, scores, train_labels, test_labels) -> float:
+        vals, idx = topk_scores(scores, 5)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        correct = 0
+        for i, t in enumerate(test_labels):
+            labels = [train_labels[j] for j in idx[i]]
+            if weighted_vote(labels, vals[i]) == t:
+                correct += 1
+        return correct / len(test_labels)
+
+    def evaluate_retrieval(self, train_text, test_text, train_image, test_image,
+                           train_labels: List[str], test_labels: List[str],
+                           text_weight: float = 0.4, fusion_type: str = "late",
+                           score_mode: str = "none",
+                           top_k_list: List[int] = [1, 3, 5]) -> Dict:
+        results: Dict = {}
+
+        if fusion_type == "early":
+            if (train_text is None or test_text is None
+                    or train_image is None or test_image is None):
+                raise ValueError("Early fusion requires both text and image embeddings")
+            train_fused = early_fusion(jnp.asarray(train_text), jnp.asarray(train_image),
+                                       text_weight, 1 - text_weight)
+            test_fused = early_fusion(jnp.asarray(test_text), jnp.asarray(test_image),
+                                      text_weight, 1 - text_weight)
+            scores = self._scores(test_fused, train_fused)
+            for top_k in top_k_list:
+                results[f"top{top_k}"] = self._topk_hits(
+                    scores, train_labels, test_labels, top_k)
+            results["weighted"] = self._weighted_acc(scores, train_labels, test_labels)
+            return results
+
+        if test_text is not None and train_text is not None:
+            scores = self._scores(test_text, train_text)
+            for top_k in top_k_list:
+                results[f"text_top{top_k}"] = self._topk_hits(
+                    scores, train_labels, test_labels, top_k)
+            results["text_weighted"] = self._weighted_acc(
+                scores, train_labels, test_labels)
+
+        if test_image is not None and train_image is not None:
+            scores = self._scores(test_image, train_image)
+            for top_k in top_k_list:
+                results[f"image_top{top_k}"] = self._topk_hits(
+                    scores, train_labels, test_labels, top_k)
+            results["image_weighted"] = self._weighted_acc(
+                scores, train_labels, test_labels)
+
+        if test_text is not None and test_image is not None:
+            text_scores = self._scores(test_text, train_text)
+            image_scores = self._scores(test_image, train_image)
+            fused_scores = late_fusion(text_scores, image_scores,
+                                       text_weight, score_mode)
+            for top_k in top_k_list:
+                results[f"top{top_k}"] = self._topk_hits(
+                    fused_scores, train_labels, test_labels, top_k)
+            results["weighted"] = self._weighted_acc(
+                fused_scores, train_labels, test_labels)
+            results["all_top_labels_top5"] = self.get_all_top_labels(
+                np.asarray(fused_scores), train_labels, test_labels, 5)
+
+        return results
+
+    def get_all_top_labels(self, scores: np.ndarray, train_labels: List[str],
+                           test_labels: List[str], top_k: int = 5
+                           ) -> List[List[str]]:
+        _, idx = topk_scores(jnp.asarray(scores), top_k)
+        idx = np.asarray(idx)
+        return [[train_labels[j] for j in row] for row in idx]
