@@ -1,0 +1,128 @@
+"""The batched jit encoding engine shared by every real encoder.
+
+Responsibilities:
+- bucket-pad batches to power-of-two sizes (bounded recompiles; padded
+  rows are masked out on the host side),
+- canonicalize mixed-size images on host, run decode-to-embedding as
+  ONE jitted region per bucket (preprocess fused with the tower's
+  patchify matmul),
+- optional final L2 norm on device (CLIP/BioMedCLIP/DINO semantics),
+- donate nothing, cache compiled buckets.
+
+Text path mirrors it with token-length buckets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emr2a_tpu.data.images import group_by_shape, resize_to
+from emr2a_tpu.encoders.base import BaseEncoder
+from emr2a_tpu.ops.preprocess import PreprocessSpec, preprocess_images
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class JitImageTextEncoder(BaseEncoder):
+    """Wraps (params, image_apply, text_apply) into the encoder API.
+
+    image_apply(params, pixels_f32) -> (B, D) raw features
+    text_apply(params, input_ids, attention_mask|None) -> (B, D)
+    tokenize(texts) -> (ids, mask|None) numpy, padded to a fixed length
+    """
+
+    def __init__(self,
+                 params,
+                 image_apply: Optional[Callable] = None,
+                 text_apply: Optional[Callable] = None,
+                 tokenize: Optional[Callable] = None,
+                 preprocess: PreprocessSpec = PreprocessSpec(),
+                 normalize: bool = True,
+                 max_batch: int = 256,
+                 device: str = "tpu"):
+        super().__init__(device)
+        self.params = params
+        self._image_apply = image_apply
+        self._text_apply = text_apply
+        self._tokenize = tokenize
+        self.preprocess = preprocess
+        self.normalize = normalize
+        self.max_batch = max_batch
+        self._jit_image = None
+        self._jit_text = None
+        if image_apply is not None:
+            self._jit_image = jax.jit(self._image_forward)
+        if text_apply is not None:
+            self._jit_text = jax.jit(self._text_forward)
+
+    # -- device functions --
+
+    def _image_forward(self, params, images_u8):
+        pixels = preprocess_images(images_u8, self.preprocess)
+        feats = self._image_apply(params, pixels)
+        if self.normalize:
+            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+        return feats
+
+    def _text_forward(self, params, input_ids, attention_mask):
+        feats = self._text_apply(params, input_ids, attention_mask)
+        if self.normalize:
+            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+        return feats
+
+    # -- host batching --
+
+    def encode_batch_images(self, images: List[Optional[np.ndarray]]
+                            ) -> List[Optional[np.ndarray]]:
+        if self._jit_image is None:
+            raise NotImplementedError(f"{type(self).__name__} is image-less")
+        out: List[Optional[np.ndarray]] = [None] * len(images)
+        # Canonicalize to the preprocess input size on host so every
+        # image lands in one static-shape batch.  (Uniform-size CT
+        # batches skip per-image work beyond the decode.)
+        spec = self.preprocess
+        canon: List[Optional[np.ndarray]] = []
+        for img in images:
+            if img is None:
+                canon.append(None)
+                continue
+            canon.append(resize_to(img, spec.resize_size,
+                                   shortest_edge=spec.shortest_edge,
+                                   method=spec.method))
+        groups = group_by_shape(canon)
+        for _, idxs in groups.items():
+            for start in range(0, len(idxs), self.max_batch):
+                chunk = idxs[start:start + self.max_batch]
+                batch = np.stack([canon[i] for i in chunk])
+                b = _bucket(len(chunk), self.max_batch)
+                if b > len(chunk):
+                    pad = np.zeros((b - len(chunk),) + batch.shape[1:],
+                                   batch.dtype)
+                    batch = np.concatenate([batch, pad])
+                feats = np.asarray(self._jit_image(self.params, batch))
+                for j, i in enumerate(chunk):
+                    out[i] = feats[j]
+        return out
+
+    def encode_batch_texts(self, texts: List[str]) -> List[Optional[np.ndarray]]:
+        if self._jit_text is None or self._tokenize is None:
+            raise NotImplementedError(f"{type(self).__name__} is text-less")
+        ids, mask = self._tokenize(texts)
+        n = len(texts)
+        b = _bucket(n, self.max_batch)
+        if b > n:
+            ids = np.concatenate([ids, np.tile(ids[-1:], (b - n, 1))])
+            if mask is not None:
+                mask = np.concatenate([mask, np.tile(mask[-1:], (b - n, 1))])
+        feats = np.asarray(self._jit_text(self.params, ids, mask))
+        return [feats[i] for i in range(n)]

@@ -1,0 +1,80 @@
+"""Local checkpoint loading (torch .bin / safetensors) + Orbax save/restore.
+
+The reference loads local checkpoint files directly (e.g.
+encoders/clip_encoder.py:25-36 manual ``pytorch_model.bin`` state_dict
+load; biomedclip_encoder.py:29-35 ``open_clip_pytorch_model.bin``).
+This module resolves the same file layouts and hands numpy state dicts
+to models/convert.py; converted flax params can be cached as Orbax
+checkpoints so later runs skip torch entirely.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+_TORCH_NAMES = ("pytorch_model.bin", "open_clip_pytorch_model.bin", "model.bin")
+_SAFETENSOR_NAMES = ("model.safetensors",)
+
+
+def load_state_dict(model_path) -> Dict[str, np.ndarray]:
+    """Load a torch/safetensors state dict from a file or HF-style dir."""
+    path = Path(model_path)
+    if path.is_dir():
+        for name in _SAFETENSOR_NAMES:
+            if (path / name).exists():
+                return _load_safetensors(path / name)
+        shards = sorted(path.glob("*.safetensors"))
+        if shards:
+            out: Dict[str, np.ndarray] = {}
+            for s in shards:
+                out.update(_load_safetensors(s))
+            return out
+        for name in _TORCH_NAMES:
+            if (path / name).exists():
+                return _load_torch(path / name)
+        shards = sorted(path.glob("pytorch_model-*.bin"))
+        if shards:
+            out = {}
+            for s in shards:
+                out.update(_load_torch(s))
+            return out
+        raise FileNotFoundError(f"No checkpoint file found under {path}")
+    if path.suffix == ".safetensors":
+        return _load_safetensors(path)
+    return _load_torch(path)
+
+
+def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+    out = {}
+    with safe_open(str(path), framework="numpy") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _load_torch(path: Path) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
+            for k, v in sd.items()}
+
+
+def save_params(params, directory) -> None:
+    """Cache converted flax params as an Orbax checkpoint."""
+    import orbax.checkpoint as ocp
+    path = Path(directory).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+
+
+def restore_params(directory):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(directory).absolute())

@@ -1,0 +1,257 @@
+"""Checkpoint converters: torch state dicts → flax param trees.
+
+Each converter understands one source family's naming scheme and emits
+the param tree of the corresponding emr2a_tpu flax module.  Sources
+(capabilities from reference encoders/, not code):
+
+- HF CLIPModel            (clip_encoder.py loads pytorch_model.bin)
+- HF ViTModel / timm ViT  (vit_encoder.py, timm naming w/ fused qkv)
+- HF BertModel            (BioMedCLIP text tower, PubMedBERT)
+- open_clip BiomedCLIP    (open_clip_pytorch_model.bin: visual.trunk.*
+                           timm ViT + head, text.transformer.* BERT +
+                           text.proj MLP)
+- HF DINOv3ViTModel       (see models/dinov3.py)
+
+All functions take ``Dict[str, np.ndarray]``; use
+``torch_state_dict_to_numpy`` to strip torch first.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
+    return {k: v.detach().cpu().numpy() for k, v in state_dict.items()}
+
+
+def _dense(sd, name):
+    """torch Linear -> flax Dense: kernel = weight.T."""
+    out = {"kernel": sd[f"{name}.weight"].T}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _patch_conv_to_dense(weight: np.ndarray, bias=None):
+    """torch conv (out, C, p, p) -> Dense kernel (p*p*C, out) matching the
+    (ph, pw, c) row-major patch flattening in models/vit.py."""
+    out = {"kernel": weight.transpose(2, 3, 1, 0).reshape(-1, weight.shape[0])}
+    if bias is not None:
+        out["bias"] = bias
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HF CLIP
+# ---------------------------------------------------------------------------
+
+def _clip_encoder_layers(sd, prefix, num_layers):
+    blocks = {}
+    for i in range(num_layers):
+        p = f"{prefix}encoder.layers.{i}."
+        blocks[f"block_{i}"] = {
+            "ln1": _ln(sd, p + "layer_norm1"),
+            "attn": {
+                "q_proj": _dense(sd, p + "self_attn.q_proj"),
+                "k_proj": _dense(sd, p + "self_attn.k_proj"),
+                "v_proj": _dense(sd, p + "self_attn.v_proj"),
+                "out_proj": _dense(sd, p + "self_attn.out_proj"),
+            },
+            "ln2": _ln(sd, p + "layer_norm2"),
+            "mlp": {
+                "fc1": _dense(sd, p + "mlp.fc1"),
+                "fc2": _dense(sd, p + "mlp.fc2"),
+            },
+        }
+    return blocks
+
+
+def convert_hf_clip_vision(sd: Dict[str, np.ndarray], num_layers: int,
+                           prefix: str = "vision_model.") -> Dict:
+    """HF CLIPVisionTransformer -> VisionTransformer params."""
+    e = prefix + "embeddings."
+    params = {
+        "patch_embed": _patch_conv_to_dense(sd[e + "patch_embedding.weight"]),
+        "cls_token": sd[e + "class_embedding"].reshape(1, 1, -1),
+        "pos_embed": sd[e + "position_embedding.weight"][None],
+        # HF's actual attribute is the typo'd "pre_layrnorm".
+        "pre_ln": _ln(sd, prefix + ("pre_layrnorm" if prefix + "pre_layrnorm.weight" in sd
+                                    else "pre_layernorm")),
+        "final_ln": _ln(sd, prefix + "post_layernorm"),
+    }
+    params.update(_clip_encoder_layers(sd, prefix, num_layers))
+    return params
+
+
+def convert_hf_clip_text(sd: Dict[str, np.ndarray], num_layers: int,
+                         prefix: str = "text_model.") -> Dict:
+    e = prefix + "embeddings."
+    params = {
+        "token_embed": {"embedding": sd[e + "token_embedding.weight"]},
+        "pos_embed": sd[e + "position_embedding.weight"][None],
+        "final_ln": _ln(sd, prefix + "final_layer_norm"),
+    }
+    params.update(_clip_encoder_layers(sd, prefix, num_layers))
+    return params
+
+
+def convert_hf_clip_image_tower(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    return {
+        "vision": convert_hf_clip_vision(sd, num_layers),
+        "visual_projection": {"kernel": sd["visual_projection.weight"].T},
+    }
+
+
+def convert_hf_clip_text_tower(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    return {
+        "text": convert_hf_clip_text(sd, num_layers),
+        "text_projection": {"kernel": sd["text_projection.weight"].T},
+    }
+
+
+# ---------------------------------------------------------------------------
+# HF ViT (ViTModel naming)
+# ---------------------------------------------------------------------------
+
+def convert_hf_vit(sd: Dict[str, np.ndarray], num_layers: int,
+                   prefix: str = "") -> Dict:
+    e = prefix + "embeddings."
+    params = {
+        "patch_embed": _patch_conv_to_dense(
+            sd[e + "patch_embeddings.projection.weight"],
+            sd.get(e + "patch_embeddings.projection.bias")),
+        "cls_token": sd[e + "cls_token"],
+        "pos_embed": sd[e + "position_embeddings"],
+        "final_ln": _ln(sd, prefix + "layernorm"),
+    }
+    for i in range(num_layers):
+        p = f"{prefix}encoder.layer.{i}."
+        params[f"block_{i}"] = {
+            "ln1": _ln(sd, p + "layernorm_before"),
+            "attn": {
+                "q_proj": _dense(sd, p + "attention.attention.query"),
+                "k_proj": _dense(sd, p + "attention.attention.key"),
+                "v_proj": _dense(sd, p + "attention.attention.value"),
+                "out_proj": _dense(sd, p + "attention.output.dense"),
+            },
+            "ln2": _ln(sd, p + "layernorm_after"),
+            "mlp": {
+                "fc1": _dense(sd, p + "intermediate.dense"),
+                "fc2": _dense(sd, p + "output.dense"),
+            },
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# timm ViT (fused qkv)
+# ---------------------------------------------------------------------------
+
+def convert_timm_vit(sd: Dict[str, np.ndarray], num_layers: int,
+                     prefix: str = "") -> Dict:
+    params = {
+        "patch_embed": _patch_conv_to_dense(
+            sd[prefix + "patch_embed.proj.weight"],
+            sd.get(prefix + "patch_embed.proj.bias")),
+        "cls_token": sd[prefix + "cls_token"],
+        "pos_embed": sd[prefix + "pos_embed"],
+        "final_ln": _ln(sd, prefix + "norm"),
+    }
+    for i in range(num_layers):
+        p = f"{prefix}blocks.{i}."
+        qkv_w = sd[p + "attn.qkv.weight"]          # (3h, h)
+        h = qkv_w.shape[1]
+        qw, kw, vw = qkv_w[:h], qkv_w[h:2 * h], qkv_w[2 * h:]
+        qkv_b = sd.get(p + "attn.qkv.bias")
+        attn = {
+            "q_proj": {"kernel": qw.T},
+            "k_proj": {"kernel": kw.T},
+            "v_proj": {"kernel": vw.T},
+            "out_proj": _dense(sd, p + "attn.proj"),
+        }
+        if qkv_b is not None:
+            attn["q_proj"]["bias"] = qkv_b[:h]
+            attn["k_proj"]["bias"] = qkv_b[h:2 * h]
+            attn["v_proj"]["bias"] = qkv_b[2 * h:]
+        params[f"block_{i}"] = {
+            "ln1": _ln(sd, p + "norm1"),
+            "attn": attn,
+            "ln2": _ln(sd, p + "norm2"),
+            "mlp": {
+                "fc1": _dense(sd, p + "mlp.fc1"),
+                "fc2": _dense(sd, p + "mlp.fc2"),
+            },
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# HF BERT
+# ---------------------------------------------------------------------------
+
+def convert_hf_bert(sd: Dict[str, np.ndarray], num_layers: int,
+                    prefix: str = "") -> Dict:
+    e = prefix + "embeddings."
+    params = {
+        "token_embed": {"embedding": sd[e + "word_embeddings.weight"]},
+        "pos_embed": sd[e + "position_embeddings.weight"][None],
+        "type_embed": {"embedding": sd[e + "token_type_embeddings.weight"]},
+        "embed_ln": _ln(sd, e + "LayerNorm"),
+    }
+    for i in range(num_layers):
+        p = f"{prefix}encoder.layer.{i}."
+        params[f"block_{i}"] = {
+            "attn": {
+                "q_proj": _dense(sd, p + "attention.self.query"),
+                "k_proj": _dense(sd, p + "attention.self.key"),
+                "v_proj": _dense(sd, p + "attention.self.value"),
+                "out_proj": _dense(sd, p + "attention.output.dense"),
+            },
+            "attn_ln": _ln(sd, p + "attention.output.LayerNorm"),
+            "mlp": {
+                "fc1": _dense(sd, p + "intermediate.dense"),
+                "fc2": _dense(sd, p + "output.dense"),
+            },
+            "mlp_ln": _ln(sd, p + "output.LayerNorm"),
+        }
+    if prefix + "pooler.dense.weight" in sd:
+        params["pooler"] = _dense(sd, prefix + "pooler.dense")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# open_clip BiomedCLIP (CustomTextCLIP layout)
+# ---------------------------------------------------------------------------
+
+def convert_biomedclip_image_tower(sd: Dict[str, np.ndarray],
+                                   num_layers: int = 12) -> Dict:
+    head_key = ("visual.head.proj.weight" if "visual.head.proj.weight" in sd
+                else "visual.proj")
+    return {
+        "trunk": convert_timm_vit(sd, num_layers, prefix="visual.trunk."),
+        "head_proj": {"kernel": sd[head_key].T},
+    }
+
+
+def convert_biomedclip_text_tower(sd: Dict[str, np.ndarray],
+                                  num_layers: int = 12) -> Dict:
+    params = {
+        "bert": convert_hf_bert(sd, num_layers, prefix="text.transformer."),
+    }
+    if "text.proj.0.weight" in sd:  # MLP proj
+        params["proj_fc1"] = {"kernel": sd["text.proj.0.weight"].T,
+                              "bias": sd["text.proj.0.bias"]}
+        params["proj_fc2"] = {"kernel": sd["text.proj.2.weight"].T,
+                              "bias": sd["text.proj.2.bias"]}
+    elif "text.proj.weight" in sd:
+        params["proj"] = {"kernel": sd["text.proj.weight"].T}
+    elif "text.proj" in sd:
+        params["proj"] = {"kernel": sd["text.proj"]}
+    return params

@@ -1,0 +1,125 @@
+"""Shared transformer building blocks (flax.linen).
+
+All towers in the zoo (CLIP vision/text, BioMedCLIP, HF/timm ViT,
+DINOv3, BERT) are assembled from these blocks.  Design points for TPU:
+
+- Attention is einsum-based; XLA maps the contractions onto the MXU and
+  fuses softmax elementwise ops.  Head dims are 64 — batched matmuls
+  keep lanes full at typical batch sizes.
+- Dtype policy: params can be loaded bf16; layernorms and softmax
+  accumulate in f32 (``preferred_element_type`` / explicit casts).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def quick_gelu(x):
+    """CLIP's approximate GELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "quick_gelu": quick_gelu,
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v/out projections and optional
+    additive attention bias/mask.  Softmax in f32."""
+
+    num_heads: int
+    head_dim: Optional[int] = None
+    qkv_bias: bool = True
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        d_model = x.shape[-1]
+        head_dim = self.head_dim or d_model // self.num_heads
+        inner = self.num_heads * head_dim
+
+        dense = lambda name, bias: nn.Dense(
+            inner, use_bias=bias, dtype=self.dtype, name=name)
+        q = dense("q_proj", self.qkv_bias)(x)
+        k = dense("k_proj", self.qkv_bias)(x)
+        v = dense("v_proj", self.qkv_bias)(x)
+
+        B, S = x.shape[0], x.shape[1]
+        shape = (B, S, self.num_heads, head_dim)
+        q = q.reshape(shape)
+        k = k.reshape(shape)
+        v = v.reshape(shape)
+
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(B, S, inner)
+        return nn.Dense(d_model, use_bias=self.out_bias, dtype=self.dtype,
+                        name="out_proj")(out)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d_model = x.shape[-1]
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        h = ACTIVATIONS[self.activation](h)
+        return nn.Dense(d_model, dtype=self.dtype, name="fc2")(h)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block: x + attn(ln1(x)); x + mlp(ln2(x))."""
+
+    num_heads: int
+    mlp_dim: int
+    activation: str = "gelu"
+    ln_eps: float = 1e-5
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln1")(x)
+        x = x + MultiHeadAttention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            dtype=self.dtype, name="attn")(h, mask)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x)
+        x = x + Mlp(mlp_dim_safe(self.mlp_dim), activation=self.activation,
+                    dtype=self.dtype, name="mlp")(h)
+        return x
+
+
+def mlp_dim_safe(d: int) -> int:
+    return int(d)
+
+
+def make_causal_mask(seq_len: int, dtype=jnp.float32):
+    """Additive causal mask (1, 1, S, S) with -inf above the diagonal."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, dtype=dtype), k=1)
+    return mask[None, None, :, :]
+
+
+def make_padding_mask(attention_mask, dtype=jnp.float32):
+    """(B, S) 1/0 mask -> additive (B, 1, 1, S)."""
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype)
+    return jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)

@@ -1,0 +1,98 @@
+"""Encoder layer: fake encoder determinism, jit engine batching,
+random-init CLIP end-to-end, factory aliases."""
+
+import numpy as np
+import pytest
+
+from emr2a_tpu.encoders import CLIPEncoder, FakeEncoder, ViTEncoder, create_encoder
+from emr2a_tpu.models.clip import CLIPConfig
+from emr2a_tpu.models.text import CLIPTextConfig
+from emr2a_tpu.models.vit import ViTConfig
+
+
+def small_clip_config():
+    return CLIPConfig(
+        vision=ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                         num_layers=2, num_heads=2, mlp_dim=64,
+                         activation="quick_gelu", use_pre_layernorm=True,
+                         patch_bias=False, pooling="cls_ln"),
+        text=CLIPTextConfig(vocab_size=64, max_length=16, hidden_size=32,
+                            num_layers=2, num_heads=2, mlp_dim=64,
+                            eos_token_id=63),
+        projection_dim=16)
+
+
+def test_fake_encoder_deterministic(rng):
+    enc = FakeEncoder(dim=32)
+    img = (rng.rand(20, 20, 3) * 255).astype(np.uint8)
+    a = enc.encode_batch_images([img, None, img])
+    assert a[1] is None
+    np.testing.assert_array_equal(a[0], a[2])
+    assert abs(np.linalg.norm(a[0]) - 1.0) < 1e-5
+    t = enc.encode_batch_texts(["性别: 男", "性别: 男", "其他"])
+    np.testing.assert_array_equal(t[0], t[1])
+    assert not np.array_equal(t[0], t[2])
+
+
+def test_fake_encoder_encode_images_drops_failures(tmp_path, rng):
+    from PIL import Image
+    good = tmp_path / "a.png"
+    Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(good)
+    bad = tmp_path / "missing.png"
+    enc = FakeEncoder(dim=16)
+    out = enc.encode_images([good, bad, good])
+    assert out.shape == (2, 16)
+
+
+def test_random_clip_encoder_images(rng):
+    enc = CLIPEncoder.random_init(small_clip_config(), max_batch=8)
+    imgs = [(rng.rand(40, 40, 3) * 255).astype(np.uint8) for _ in range(5)]
+    imgs[2] = None
+    out = enc.encode_batch_images(imgs)
+    assert out[2] is None
+    for i in (0, 1, 3, 4):
+        assert out[i].shape == (16,)
+        assert abs(np.linalg.norm(out[i]) - 1.0) < 1e-4
+    # Batch path must equal the single path (no batch-dependent state).
+    single = enc.encode_batch_images([imgs[0]])[0]
+    np.testing.assert_allclose(out[0], single, atol=1e-5)
+
+
+def test_random_clip_encoder_texts():
+    def toy_tokenizer(texts, **kw):
+        ids = np.full((len(texts), 16), 63, np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % 62 + 1 for w in t.split()][:14]
+            ids[i, 0] = 0
+            ids[i, 1:1 + len(toks)] = toks
+        return {"input_ids": ids}
+
+    enc = CLIPEncoder.random_init(small_clip_config(),
+                                  tokenizer=toy_tokenizer, max_batch=8)
+    out = enc.encode_batch_texts(["hello world", "foo"])
+    assert len(out) == 2 and out[0].shape == (16,)
+    assert not np.allclose(out[0], out[1])
+
+
+def test_vit_encoder_no_text():
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                    num_layers=1, num_heads=2, mlp_dim=64, pooling="mean")
+    enc = ViTEncoder(config=cfg)
+    with pytest.raises(NotImplementedError):
+        enc.encode_text("x")
+
+
+def test_factory_aliases():
+    enc = create_encoder("fake", dim=8)
+    assert isinstance(enc, FakeEncoder)
+    with pytest.raises(ValueError, match="Unsupported encoder type"):
+        create_encoder("nope")
+
+
+def test_mixed_size_batch(rng):
+    """Mixed-size inputs canonicalize to one batch via host resize."""
+    enc = CLIPEncoder.random_init(small_clip_config(), max_batch=8)
+    imgs = [(rng.rand(40, 40, 3) * 255).astype(np.uint8),
+            (rng.rand(64, 48, 3) * 255).astype(np.uint8)]
+    out = enc.encode_batch_images(imgs)
+    assert out[0].shape == out[1].shape == (16,)
