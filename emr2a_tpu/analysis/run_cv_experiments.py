@@ -1,0 +1,437 @@
+"""CV experiment driver — the main experiment CLI.
+
+Flag + behavior parity with the reference
+(analysis/run_cv_experiments.py): single experiments, TopK / PCA /
+late-fusion-weight scans, the text-shuffle sanity check, the four
+predefined experiment configs, combined_embeddings.npz caching with
+{patient_ids, image_matrix, text_matrix}, clinical-text rendering from
+meta (sex/age/fever/symptom, zh labels), per-patient slice sampling +
+mean pooling, and optional in-run G2 VLM review (≤30 samples).
+
+TPU shape: encoding goes through the batched jit encoders; the CV math
+runs in eval/cv.py (one whitening + matmul + top-k region per fold).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from emr2a_tpu.config import BaseConfig
+from emr2a_tpu.data.manifest import load_manifest
+from emr2a_tpu.encoders import create_encoder
+from emr2a_tpu.eval.cv import CVRetrievalEvaluator
+from emr2a_tpu.ops.preprocess import sample_slice_indices
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s - %(levelname)s - %(message)s")
+logger = logging.getLogger(__name__)
+
+IMAGE_ENCODERS = ["qwen3_vl_8b", "qwen3_vl_2b", "clip", "vit", "biomedclip",
+                  "dino", "fake"]
+TEXT_ENCODERS = ["qwen3_vl_8b", "qwen3_vl_2b", "clip", "biomedclip", "fake"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Run 5-fold CV experiments for medical image retrieval")
+    parser.add_argument("--manifest_path", default="data/processed/manifest.jsonl")
+    parser.add_argument("--output_dir", default="outputs/experiments")
+    parser.add_argument("--image_encoder", default="biomedclip",
+                        choices=IMAGE_ENCODERS)
+    parser.add_argument("--text_encoder", default="qwen3_vl_8b",
+                        choices=TEXT_ENCODERS)
+    parser.add_argument("--fusion", default="concat",
+                        choices=["concat", "image_only", "text_only", "late"])
+    parser.add_argument("--pca_dim", type=int, default=96)
+    parser.add_argument("--top_k", type=int, default=3)
+    parser.add_argument("--w_text", type=float, default=0.5)
+    parser.add_argument("--topk_scan", action="store_true")
+    parser.add_argument("--topk_list", type=int, nargs="+", default=[1, 3, 5, 10])
+    parser.add_argument("--pca_scan", action="store_true")
+    parser.add_argument("--pca_list", type=int, nargs="+", default=[64, 96, 128])
+    parser.add_argument("--text_shuffle", action="store_true")
+    parser.add_argument("--late_fusion_scan", action="store_true")
+    parser.add_argument("--w_text_list", type=float, nargs="+",
+                        default=[0.0, 0.25, 0.5, 0.75, 1.0])
+    parser.add_argument("--vlm_review", action="store_true")
+    parser.add_argument("--vlm_model_path", type=str, default=None)
+    parser.add_argument("--vlm_prompt", type=str, default=None)
+    parser.add_argument("--experiment_id", type=str, default=None)
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--sample_n_per_patient", type=int, default=4)
+    parser.add_argument("--sampling_strategy", default="uniform",
+                        choices=["uniform", "random"])
+    parser.add_argument("--skip_encoding", action="store_true")
+    parser.add_argument("--embeddings_path", default=None)
+    return parser
+
+
+def render_clinical_text(record: Dict) -> str:
+    """Chinese clinical text from manifest meta
+    (run_cv_experiments.py:216-231)."""
+    meta = record.get("meta", {})
+    parts = []
+    if meta.get("sex"):
+        parts.append(f"性别: {meta['sex']}")
+    if meta.get("age"):
+        parts.append(f"年龄: {meta['age']}")
+    if meta.get("fever"):
+        parts.append(f"发烧: {meta['fever']}")
+    if meta.get("symptom"):
+        parts.append(f"症状: {meta['symptom']}")
+    return "\n".join(parts) if parts else record.get("text", "")
+
+
+def load_or_encode_embeddings(
+        manifest: List[Dict], config: BaseConfig, image_encoder_type: str,
+        text_encoder_type: str, device: str, batch_size: int,
+        sample_n_per_patient: Optional[int] = None,
+        sampling_strategy: str = "uniform", skip_encoding: bool = False,
+        embeddings_path: Optional[str] = None,
+        fusion: str = "concat") -> Dict[str, Dict[str, np.ndarray]]:
+    embeddings_dir = Path(config.features_dir)
+
+    if skip_encoding and embeddings_path:
+        logger.info("Loading pre-computed embeddings from %s", embeddings_path)
+        data = np.load(embeddings_path, allow_pickle=True)
+        result = {}
+        has_image = "image_matrix" in data
+        has_text = "text_matrix" in data
+        for i, pid in enumerate(data["patient_ids"]):
+            result[str(pid)] = {
+                "image": data["image_matrix"][i] if has_image else None,
+                "text": data["text_matrix"][i] if has_text else None,
+            }
+        return result
+
+    image_embeddings: Dict[str, np.ndarray] = {}
+    text_embeddings: Dict[str, np.ndarray] = {}
+
+    if fusion != "text_only":
+        logger.info("Encoding images with %s...", image_encoder_type)
+        image_encoder = create_encoder(image_encoder_type, device=device)
+        for record in manifest:
+            pid = record.get("patient_id")
+            slices = record.get("slices", [])
+            if not slices or not pid:
+                continue
+            try:
+                if sample_n_per_patient is not None:
+                    idx = sample_slice_indices(len(slices), sample_n_per_patient,
+                                               mode=sampling_strategy)
+                    slices = [slices[i] for i in idx]
+                chunks = []
+                for i in range(0, len(slices), batch_size):
+                    emb = image_encoder.encode_images(
+                        [Path(s) for s in slices[i:i + batch_size]])
+                    if isinstance(emb, np.ndarray) and emb.ndim == 2 and emb.size:
+                        chunks.append(emb)
+                if chunks:
+                    image_embeddings[pid] = np.concatenate(chunks, axis=0) \
+                        .mean(axis=0).astype(np.float32)
+            except Exception as e:
+                logger.warning("Failed to encode images for patient %s: %s", pid, e)
+        logger.info("Encoded images for %d patients", len(image_embeddings))
+
+    if fusion != "image_only":
+        logger.info("Encoding texts with %s...", text_encoder_type)
+        text_encoder = create_encoder(text_encoder_type, device=device)
+        for record in manifest:
+            pid = record.get("patient_id")
+            if not pid:
+                continue
+            text = render_clinical_text(record)
+            if not text:
+                continue
+            try:
+                emb = text_encoder.encode_text(text)
+                if emb is not None:
+                    text_embeddings[pid] = np.asarray(emb, dtype=np.float32)
+            except Exception as e:
+                logger.warning("Failed to encode text for patient %s: %s", pid, e)
+        logger.info("Encoded texts for %d patients", len(text_embeddings))
+
+    embeddings: Dict[str, Dict[str, np.ndarray]] = {}
+    if fusion in ("concat", "late"):
+        for pid in image_embeddings:
+            if pid in text_embeddings:
+                embeddings[pid] = {"image": image_embeddings[pid],
+                                   "text": text_embeddings[pid]}
+    elif fusion == "image_only":
+        embeddings = {pid: {"image": e, "text": None}
+                      for pid, e in image_embeddings.items()}
+    elif fusion == "text_only":
+        embeddings = {pid: {"image": None, "text": e}
+                      for pid, e in text_embeddings.items()}
+    logger.info("Combined embeddings for %d patients (fusion=%s)",
+                len(embeddings), fusion)
+
+    # Cache as combined_embeddings.npz (same keys as the reference).
+    embeddings_dir.mkdir(parents=True, exist_ok=True)
+    pids = list(embeddings.keys())
+    save: Dict[str, np.ndarray] = {"patient_ids": np.array(pids, dtype=object)}
+    img_dims = [v["image"].shape[-1] for v in embeddings.values()
+                if v["image"] is not None]
+    txt_dims = [v["text"].shape[-1] for v in embeddings.values()
+                if v["text"] is not None]
+    if img_dims:
+        mat = np.zeros((len(pids), img_dims[-1]), np.float32)
+        for i, pid in enumerate(pids):
+            if embeddings[pid]["image"] is not None:
+                mat[i] = embeddings[pid]["image"]
+        save["image_matrix"] = mat
+    if txt_dims:
+        mat = np.zeros((len(pids), txt_dims[-1]), np.float32)
+        for i, pid in enumerate(pids):
+            if embeddings[pid]["text"] is not None:
+                mat[i] = embeddings[pid]["text"]
+        save["text_matrix"] = mat
+    np.savez_compressed(embeddings_dir / "combined_embeddings.npz", **save)
+    logger.info("Saved combined embeddings to %s",
+                embeddings_dir / "combined_embeddings.npz")
+    return embeddings
+
+
+def aggregate_embeddings(embeddings: Dict[str, Dict[str, np.ndarray]]
+                         ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Per-patient mean over the slice axis for 2D/3D image matrices
+    (run_cv_experiments.py:316-333)."""
+    out = {}
+    for pid, data in embeddings.items():
+        img = data["image"]
+        if img is not None and img.ndim in (2, 3):
+            img = img.mean(axis=0)
+        out[pid] = {"image": img, "text": data["text"]}
+    return out
+
+
+def run_experiment(args, config: BaseConfig, experiment_id: str,
+                   shuffle_text: bool = False,
+                   enable_vlm_review: bool = False) -> Dict:
+    logger.info("Running experiment: %s", experiment_id)
+    manifest = load_manifest(args.manifest_path)
+    logger.info("Loaded %d records from manifest", len(manifest))
+
+    embeddings = load_or_encode_embeddings(
+        manifest=manifest, config=config,
+        image_encoder_type=args.image_encoder,
+        text_encoder_type=args.text_encoder, device=args.device,
+        batch_size=args.batch_size,
+        sample_n_per_patient=args.sample_n_per_patient,
+        sampling_strategy=args.sampling_strategy,
+        skip_encoding=args.skip_encoding,
+        embeddings_path=args.embeddings_path, fusion=args.fusion)
+
+    if shuffle_text:
+        logger.info("Shuffling text embeddings across patients (sanity check)")
+        pids = list(embeddings.keys())
+        texts = [embeddings[p]["text"] for p in pids]
+        np.random.shuffle(texts)
+        for pid, t in zip(pids, texts):
+            embeddings[pid]["text"] = t
+
+    embeddings = aggregate_embeddings(embeddings)
+
+    patient_ids = list(embeddings.keys())
+    pid_to_label = {r.get("patient_id"): r.get("label", "unknown")
+                    for r in manifest}
+    labels = [pid_to_label.get(pid, "unknown") for pid in patient_ids]
+
+    logger.info("Patient count: %d", len(patient_ids))
+
+    evaluator = CVRetrievalEvaluator(cv_folds=5, pca_dim=args.pca_dim,
+                                     top_k=args.top_k, seed=config.seed)
+    results = evaluator.run_cv(
+        patient_ids=patient_ids, labels=labels, embeddings=embeddings,
+        fusion=args.fusion, top_k_list=[1, 3, 5, args.top_k],
+        w_text=args.w_text)
+
+    vlm_review_results = None
+    if enable_vlm_review:
+        vlm_review_results = _run_vlm_review(args, experiment_id, manifest,
+                                             patient_ids, results)
+
+    config_dict = {
+        "experiment_id": experiment_id,
+        "image_encoder": args.image_encoder,
+        "text_encoder": args.text_encoder,
+        "fusion": args.fusion,
+        "pca_dim": args.pca_dim,
+        "top_k": args.top_k,
+        "w_text": args.w_text if args.fusion == "late" else None,
+        "cv_folds": 5,
+        "seed": config.seed,
+        "device": args.device,
+        "num_patients": len(patient_ids),
+        "label_distribution": {
+            str(label): int(count)
+            for label, count in zip(*np.unique(labels, return_counts=True))},
+        "text_shuffle": shuffle_text,
+        "vlm_review": enable_vlm_review,
+    }
+    if vlm_review_results:
+        results["vlm_review"] = vlm_review_results
+
+    evaluator.save_results(results, Path(args.output_dir), experiment_id,
+                           config_dict)
+    logger.info("Experiment %s completed", experiment_id)
+    logger.info("Summary: Top1=%.4f±%.4f, Vote Acc=%.4f±%.4f",
+                results["summary"]["top1"]["mean"],
+                results["summary"]["top1"]["std"],
+                results["summary"]["vote_acc"]["mean"],
+                results["summary"]["vote_acc"]["std"])
+    return results
+
+
+def _run_vlm_review(args, experiment_id, manifest, patient_ids, results,
+                    max_vlm_samples: int = 30):
+    """In-run G2 goalkeeper review over the first ≤30 CV samples
+    (run_cv_experiments.py:399-469)."""
+    from collections import Counter
+
+    from emr2a_tpu.judge.review import VLMReviewModule
+
+    vlm_module = VLMReviewModule(model_path=args.vlm_model_path,
+                                 device=args.device)
+    vlm_output_dir = Path(args.output_dir) / f"exp_{experiment_id}" / "vlm_review"
+
+    pid_to_record = {r.get("patient_id"): r for r in manifest}
+    query_patients = [pid_to_record.get(pid) for pid in patient_ids]
+
+    retrieval_predictions, retrieval_similarities = [], []
+    retrieval_labels, top_neighbors_list = [], []
+    sample_count = 0
+    for fold_result in results["fold_results"]:
+        for i, _test_pid in enumerate(fold_result.get("test_patient_ids", [])):
+            if sample_count >= max_vlm_samples:
+                break
+            all_top_labels = fold_result.get("all_top_labels", [])
+            all_top_scores = fold_result.get("all_top_scores", [])
+            if i < len(all_top_labels):
+                top_labels = all_top_labels[i]
+                top_scores = all_top_scores[i]
+                retrieval_predictions.append(
+                    Counter(top_labels).most_common(1)[0][0])
+                retrieval_similarities.append(top_scores)
+                retrieval_labels.append(top_labels)
+                top_neighbors_list.append(
+                    [(f"neighbor_{j}", label, float(score))
+                     for j, (label, score) in enumerate(zip(top_labels, top_scores))])
+                sample_count += 1
+            else:
+                retrieval_predictions.append(None)
+                retrieval_similarities.append([])
+                retrieval_labels.append([])
+                top_neighbors_list.append([])
+        if sample_count >= max_vlm_samples:
+            break
+
+    logger.info("Processing %d samples for VLM review", sample_count)
+    return vlm_module.g2_goalkeeper_review(
+        retrieval_predictions=retrieval_predictions,
+        retrieval_similarities=retrieval_similarities,
+        retrieval_labels=retrieval_labels,
+        query_patients=query_patients[:sample_count],
+        top_neighbors_list=top_neighbors_list,
+        manifest=manifest,
+        output_dir=vlm_output_dir,
+        prompt_template=args.vlm_prompt)
+
+
+def run_experiments(args, config: BaseConfig) -> None:
+    """The four predefined experiment configs
+    (run_cv_experiments.py:512-560)."""
+    experiment_configs = [
+        {"id": "exp_a_baseline", "fusion": "concat",
+         "image_encoder": "biomedclip", "text_encoder": "qwen3_vl_8b"},
+        {"id": "exp_b_image_encoders", "fusion": "concat",
+         "image_encoder": "biomedclip", "text_encoder": "qwen3_vl_8b"},
+        {"id": "exp_c_fusion_strategies", "fusion": "image_only",
+         "image_encoder": "biomedclip", "text_encoder": "qwen3_vl_8b"},
+        {"id": "exp_d_pca_dimensions", "fusion": "concat",
+         "image_encoder": "biomedclip", "text_encoder": "qwen3_vl_8b"},
+    ]
+    all_results = {}
+    for exp in experiment_configs:
+        original = vars(args).copy()
+        args.image_encoder = exp["image_encoder"]
+        args.text_encoder = exp["text_encoder"]
+        args.fusion = exp["fusion"]
+        if exp["id"] == "exp_d_pca_dimensions":
+            for dim in [64, 96, 128]:
+                args.pca_dim = dim
+                exp_id = f"{exp['id']}_dim{dim}"
+                all_results[exp_id] = run_experiment(args, config, exp_id)
+        else:
+            all_results[exp["id"]] = run_experiment(args, config, exp["id"])
+        vars(args).update(original)
+
+    summary_path = Path(args.output_dir) / "all_experiments_summary.json"
+    from emr2a_tpu.eval.cv import make_serializable
+    with summary_path.open("w", encoding="utf-8") as f:
+        json.dump(make_serializable(all_results), f, ensure_ascii=False, indent=2)
+    logger.info("All experiments summary saved to %s", summary_path)
+
+
+def _scan(args, config, values, attr, tag) -> None:
+    all_results = {}
+    for v in values:
+        setattr(args, attr, v)
+        if attr == "w_text":
+            exp_id = f"{args.experiment_id}_w{v:.2f}"
+        else:
+            exp_id = f"{args.experiment_id}_{tag}{v}"
+        all_results[exp_id] = run_experiment(args, config, exp_id)
+    from emr2a_tpu.eval.cv import make_serializable
+    suffix = {"w_text": "late_fusion", "top_k": "topk_scan",
+              "pca_dim": "pca_scan"}[attr]
+    summary_path = Path(args.output_dir) / f"{args.experiment_id}_{suffix}_summary.json"
+    with summary_path.open("w", encoding="utf-8") as f:
+        json.dump(make_serializable(all_results), f, ensure_ascii=False, indent=2)
+    logger.info("Scan summary saved to %s", summary_path)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    config = BaseConfig()
+
+    if not args.experiment_id:
+        run_experiments(args, config)
+        return
+
+    if args.late_fusion_scan:
+        _scan(args, config, args.w_text_list, "w_text", "w")
+    elif args.topk_scan:
+        _scan(args, config, args.topk_list, "top_k", "topk")
+    elif args.pca_scan:
+        _scan(args, config, args.pca_list, "pca_dim", "pca")
+    elif args.text_shuffle:
+        results_original = run_experiment(
+            args, config, f"{args.experiment_id}_original")
+        results_shuffled = run_experiment(
+            args, config, f"{args.experiment_id}_shuffled", shuffle_text=True)
+        from emr2a_tpu.eval.cv import make_serializable
+        summary_path = (Path(args.output_dir)
+                        / f"{args.experiment_id}_text_shuffle_summary.json")
+        with summary_path.open("w", encoding="utf-8") as f:
+            json.dump(make_serializable({
+                "original": results_original,
+                "shuffled": results_shuffled,
+            }), f, ensure_ascii=False, indent=2)
+        logger.info("Text shuffle summary saved to %s", summary_path)
+    elif args.vlm_review:
+        run_experiment(args, config, args.experiment_id,
+                       enable_vlm_review=True)
+    else:
+        run_experiment(args, config, args.experiment_id)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Step 2 — embedding generation (the throughput path).
+
+Artifact parity with the reference
+(pipelines/step2_embeddings/build_embeddings.py:41-88): writes
+``embeddings.npz`` keyed by patient_id with per-patient slice-embedding
+matrices, plus ``embeddings_meta.json`` {num_patients, patients,
+embedding_dim}.  Failed patients are logged and skipped, never crash
+the batch.
+
+TPU difference: the per-patient Python loop of host PIL decodes +
+per-image processor calls becomes host decode feeding large batched
+jit forwards (encoders/jit_encoder.py); throughput scales with
+``--batch_size`` and the mesh ``data`` axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+from emr2a_tpu.config import BaseConfig
+from emr2a_tpu.data.manifest import load_manifest
+from emr2a_tpu.encoders import create_encoder
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s - %(levelname)s - %(message)s")
+logger = logging.getLogger(__name__)
+
+ENCODER_CHOICES = ["vit", "qwen3_vl", "qwen3_vl_8b", "qwen3_vl_2b",
+                   "biomedclip", "clip", "dino", "fake"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Build embeddings database from manifest")
+    parser.add_argument("--manifest_path", default="outputs/manifest.jsonl")
+    parser.add_argument("--encoder_type", default="vit",
+                        choices=ENCODER_CHOICES)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--output_dir", default="outputs/features")
+    return parser
+
+
+def load_images(manifest: List[Dict], image_root: Path) -> Dict[str, List[Path]]:
+    return {rec["patient_id"]: [Path(s) for s in rec.get("slices", [])]
+            for rec in manifest
+            if rec.get("patient_id") and rec.get("slices")}
+
+
+def encode_images(encoder, image_paths: Dict[str, List[Path]],
+                  batch_size: int) -> Dict[str, np.ndarray]:
+    embeddings = {}
+    for patient_id, paths in image_paths.items():
+        try:
+            chunks = []
+            for i in range(0, len(paths), batch_size):
+                emb = encoder.encode_images(paths[i:i + batch_size])
+                if emb.size:
+                    chunks.append(emb)
+            if chunks:
+                embeddings[patient_id] = np.concatenate(chunks, axis=0)
+        except Exception as e:
+            logger.warning("Failed to encode images for patient %s: %s",
+                           patient_id, e)
+    return embeddings
+
+
+def save_embeddings(embeddings: Dict[str, np.ndarray], output_dir: Path) -> None:
+    output_dir.mkdir(parents=True, exist_ok=True)
+    npz_path = output_dir / "embeddings.npz"
+    np.savez_compressed(npz_path, **embeddings)
+    logger.info("Saved embeddings to %s", npz_path)
+
+    meta = {
+        "num_patients": len(embeddings),
+        "patients": list(embeddings.keys()),
+        "embedding_dim": (next(iter(embeddings.values())).shape[-1]
+                          if embeddings else 0),
+    }
+    with (output_dir / "embeddings_meta.json").open("w", encoding="utf-8") as f:
+        json.dump(meta, f, ensure_ascii=False, indent=2)
+    logger.info("Saved metadata to %s", output_dir / "embeddings_meta.json")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    logger.info("Loading manifest from %s", args.manifest_path)
+    manifest = load_manifest(args.manifest_path)
+    logger.info("Loaded %d records from manifest", len(manifest))
+
+    config = BaseConfig()
+    encoder = create_encoder(
+        encoder_type=args.encoder_type, device=args.device,
+        model_path=args.model_path)
+
+    image_paths = load_images(manifest, config.data_root)
+    logger.info("Found images for %d patients", len(image_paths))
+
+    embeddings = encode_images(encoder, image_paths, args.batch_size)
+    logger.info("Generated embeddings for %d patients", len(embeddings))
+
+    save_embeddings(embeddings, Path(args.output_dir))
+
+
+if __name__ == "__main__":
+    main()
