@@ -1,0 +1,90 @@
+"""Headline benchmark: BioMedCLIP CT-slice embedding throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} —
+slices/sec/chip on the BASELINE.json target of >= 5000.
+
+Methodology: the device sync through the axon relay costs ~30 ms RTT,
+so the batch loop runs INSIDE one jit (lax.scan over batches) with a
+single scalar readback; wall time is measured around that one call
+after a warmup compile.  bf16 params/compute, batch 256.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+BASELINE_SLICES_PER_SEC = 5000.0
+BATCH = 256
+N_BATCHES = 8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from emr2a_tpu.encoders.biomedclip_encoder import default_biomedclip_config
+    from emr2a_tpu.models.clip import BioMedCLIPImageTower
+    from emr2a_tpu.models.vit import ViTConfig
+    from emr2a_tpu.ops.preprocess import BIOMEDCLIP_PREPROCESS, preprocess_images
+
+    base = default_biomedclip_config()
+    vcfg = ViTConfig(**{**base.vision.__dict__, "dtype": jnp.bfloat16})
+    config = type(base)(vision=vcfg, text=base.text,
+                        projection_dim=base.projection_dim,
+                        text_proj=base.text_proj)
+    tower = BioMedCLIPImageTower(config)
+    params = tower.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 224, 224, 3), jnp.float32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    params = jax.device_put(params)
+
+    @jax.jit
+    def embed_chain(params, batches):
+        def body(carry, images_u8):
+            pixels = preprocess_images(images_u8, BIOMEDCLIP_PREPROCESS)
+            feats = tower.apply({"params": params}, pixels.astype(jnp.bfloat16))
+            feats = feats.astype(jnp.float32)
+            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+            # fold into carry so no batch output is DCE'd
+            return carry + feats.sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), batches)
+        return total
+
+    rng = np.random.RandomState(0)
+    batches = jax.device_put(
+        rng.randint(0, 256, (N_BATCHES, BATCH, 224, 224, 3), np.uint8))
+
+    # Warmup (compile) + one timing probe of sync overhead.
+    float(embed_chain(params, batches))
+    t0 = time.time()
+    float(embed_chain(params, batches))
+    dt = time.time() - t0
+
+    # Subtract the relay round-trip measured on an empty jit.
+    @jax.jit
+    def empty(x):
+        return x + 1.0
+    float(empty(jnp.float32(0)))
+    t0 = time.time()
+    float(empty(jnp.float32(1)))
+    rtt = time.time() - t0
+
+    compute = max(dt - rtt, 1e-6)
+    slices_per_sec = N_BATCHES * BATCH / compute
+    print(json.dumps({
+        "metric": "biomedclip_embed_throughput",
+        "value": round(slices_per_sec, 1),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
