@@ -1,0 +1,323 @@
+"""VLM audit module — the step4 quality-control gatekeeper.
+
+Behavior parity with the reference VLMAuditModule
+(pipelines/step4_vlm_review/vlm_audit_module.py): evidence packaging
+(4 even-spaced query slices + 2 per neighbor × 5 neighbors + meta
+text, :157-247), VLM query with query images + first image of top-3
+neighbors (:249-364), the parse waterfall (judge/parsers.py), threshold
+gating accept/reject ≥ thresholds else abstain (:736-761), batch
+aggregation (:651-734) and NEEDS_REVIEW routing (:763-822).
+
+The generation engine is a pluggable backend (judge/backends.py);
+failures degrade to {abstain, 0.0, "VLM query failed"} so the batch
+never crashes — the reference's safety semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from emr2a_tpu.judge.backends import VLMBackend, load_backend
+from emr2a_tpu.judge.parsers import parse_audit_output
+
+logger = logging.getLogger(__name__)
+
+
+def select_even_slices(slice_paths: Sequence[str], num_slices: int = 4
+                       ) -> List[str]:
+    """Evenly spaced, de-duplicated slice selection
+    (vlm_audit_module.py:157-172)."""
+    if not slice_paths or num_slices <= 0:
+        return []
+    if len(slice_paths) <= num_slices:
+        return list(slice_paths)
+    indices = np.linspace(0, len(slice_paths) - 1, num=num_slices, dtype=int)
+    selected: List[str] = []
+    for idx in indices:
+        path = slice_paths[int(idx)]
+        if path not in selected:
+            selected.append(path)
+    return selected
+
+
+def create_montage(slice_paths: Sequence[str],
+                   output_path: Optional[Path] = None,
+                   grid_size: Tuple[int, int] = (2, 2),
+                   label: Optional[str] = None,
+                   base_dir: Optional[Path] = None) -> Optional[Image.Image]:
+    """2x2 grid montage with optional red label overlay
+    (vlm_audit_module.py:93-155)."""
+    if not slice_paths:
+        return None
+    try:
+        images = []
+        for path in slice_paths:
+            full = Path(path)
+            if not full.is_absolute() and base_dir:
+                full = base_dir / path
+            if not full.exists():
+                logger.warning("Image not found: %s", full)
+                continue
+            images.append(Image.open(full).convert("RGB"))
+        if not images:
+            return None
+
+        w, h = images[0].size
+        cols, rows = grid_size
+        montage = Image.new("RGB", (w * cols, h * rows), (255, 255, 255))
+        for idx, img in enumerate(images[:cols * rows]):
+            montage.paste(img, ((idx % cols) * w, (idx // cols) * h))
+
+        if label:
+            draw = ImageDraw.Draw(montage)
+            try:
+                font = ImageFont.truetype("arial.ttf", 20)
+            except Exception:
+                font = ImageFont.load_default()
+            draw.text((10, 10), label, fill=(255, 0, 0), font=font)
+
+        if output_path:
+            output_path = Path(output_path)
+            output_path.parent.mkdir(parents=True, exist_ok=True)
+            montage.save(output_path)
+        return montage
+    except Exception as e:
+        logger.error("Failed to create montage: %s", e)
+        return None
+
+
+def _resolve(path: str, base_dir: Optional[Path]) -> Path:
+    p = Path(path)
+    if not p.is_absolute() and base_dir:
+        p = base_dir / path
+    return p
+
+
+def render_query_text(meta: Dict) -> str:
+    parts = ["Query Patient Information:"]
+    if meta.get("sex"):
+        parts.append(f"- Sex: {meta['sex']}")
+    if meta.get("age"):
+        parts.append(f"- Age: {meta['age']}")
+    if meta.get("fever"):
+        parts.append(f"- Fever: {meta['fever']}")
+    if meta.get("symptom"):
+        parts.append(f"- Symptoms: {meta['symptom']}")
+    return "\n".join(parts)
+
+
+class VLMAuditModule:
+
+    def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
+                 max_retries: int = 3, accept_threshold: float = 0.7,
+                 reject_threshold: float = 0.7,
+                 abstain_threshold: float = 0.5,
+                 backend: Optional[VLMBackend] = None):
+        self.model_path = model_path
+        self.device = device
+        self.max_retries = max_retries
+        self.accept_threshold = accept_threshold
+        self.reject_threshold = reject_threshold
+        self.abstain_threshold = abstain_threshold
+        self.backend = backend if backend is not None \
+            else load_backend(model_path, device)
+
+    # -- evidence --
+
+    def construct_evidence_package(self, query_patient: Dict,
+                                   top_neighbors: List[Tuple[str, str, float]],
+                                   manifest: List[Dict], output_dir: Path,
+                                   base_dir: Optional[Path] = None) -> Dict:
+        query_meta = query_patient.get("meta", {})
+        query_images = [
+            str(p) for p in
+            (_resolve(s, base_dir)
+             for s in select_even_slices(query_patient.get("slices", []), 4))
+            if p.exists()]
+
+        pid_to_record = {r.get("patient_id"): r for r in manifest}
+        neighbor_data = []
+        for rank, (nid, nlabel, sim) in enumerate(top_neighbors[:5], 1):
+            record = pid_to_record.get(nid)
+            if not record:
+                continue
+            images = [
+                str(p) for p in
+                (_resolve(s, base_dir)
+                 for s in select_even_slices(record.get("slices", []), 2))
+                if p.exists()]
+            neighbor_data.append({
+                "rank": rank,
+                "id": nid,
+                "label": nlabel,
+                "similarity": sim,
+                "images": images,
+                "meta": record.get("meta", {}),
+            })
+
+        return {
+            "query_id": query_patient.get("patient_id"),
+            "query_images": query_images,
+            "query_text": render_query_text(query_meta),
+            "query_meta": query_meta,
+            "neighbors": neighbor_data,
+        }
+
+    # -- querying --
+
+    def query_vlm_audit(self, evidence_package: Dict, predicted_label: str,
+                        prompt_template: Optional[str] = None,
+                        temperature: float = 0.0) -> Optional[Dict]:
+        if self.backend is None:
+            logger.warning("VLM backend not loaded")
+            return None
+        if prompt_template is None:
+            from emr2a_tpu.judge.prompts import get_vlm_audit_prompt
+            prompt_template = get_vlm_audit_prompt()
+
+        try:
+            query_images = evidence_package.get("query_images", [])
+            if not query_images:
+                logger.error("No query images found")
+                return None
+
+            images = [Image.open(p).convert("RGB") for p in query_images
+                      if Path(p).exists()]
+
+            neighbors = evidence_package.get("neighbors", [])
+            cited_neighbors = []
+            for neighbor in neighbors[:3]:
+                imgs = neighbor.get("images", [])
+                if imgs and Path(imgs[0]).exists():
+                    images.append(Image.open(imgs[0]).convert("RGB"))
+                    cited_neighbors.append(neighbor["rank"])
+
+            if not images:
+                logger.error("No valid images found")
+                return None
+
+            neighbor_text = "\n".join(
+                f"  [{n['rank']}] ID: {n['id']}, Label: {n['label']}, "
+                f"Similarity: {n['similarity']:.3f}"
+                for n in neighbors[:3])
+
+            prompt = prompt_template.format(
+                query_text=evidence_package["query_text"],
+                predicted_label=predicted_label,
+                neighbor_info=neighbor_text)
+
+            output_text = self.backend.generate(
+                images, prompt, max_new_tokens=1024, temperature=temperature)
+
+            result = parse_audit_output(output_text)
+            if result and cited_neighbors:
+                result["cited_neighbors"] = cited_neighbors
+            return result
+        except Exception as e:
+            logger.error("Error querying VLM: %s", e, exc_info=True)
+            return None
+
+    # -- decision logic --
+
+    def _apply_decision_thresholds(self, vlm_decision: str,
+                                   vlm_confidence: float) -> str:
+        """accept/reject stand only above their thresholds; everything
+        else abstains (vlm_audit_module.py:736-761)."""
+        if vlm_decision == "accept":
+            return "accept" if vlm_confidence >= self.accept_threshold else "abstain"
+        if vlm_decision == "reject":
+            return "reject" if vlm_confidence >= self.reject_threshold else "abstain"
+        return "abstain"
+
+    def audit_batch(self, retrieval_predictions: List[str],
+                    retrieval_similarities: List[List[float]],
+                    retrieval_labels: List[List[str]],
+                    query_patients: List[Dict],
+                    top_neighbors_list: List[List[Tuple[str, str, float]]],
+                    manifest: List[Dict], output_dir: Path,
+                    base_dir: Optional[Path] = None,
+                    prompt_template: Optional[str] = None) -> Dict:
+        logger.info("Starting VLM audit on %d samples", len(query_patients))
+        audit_results = []
+        for idx, (query_patient, top_neighbors, pred_label) in enumerate(zip(
+                query_patients, top_neighbors_list, retrieval_predictions)):
+            logger.info("Auditing sample %d/%d: %s", idx + 1,
+                        len(query_patients),
+                        query_patient.get("patient_id", "unknown"))
+            evidence = self.construct_evidence_package(
+                query_patient, top_neighbors, manifest, output_dir, base_dir)
+            vlm_result = self.query_vlm_audit(
+                evidence, pred_label, prompt_template=prompt_template)
+            if vlm_result is None:
+                vlm_result = {"decision": "abstain", "confidence": 0.0,
+                              "cited_neighbors": [],
+                              "rationale": "VLM query failed"}
+
+            final_decision = self._apply_decision_thresholds(
+                vlm_result["decision"], vlm_result["confidence"])
+            audit_results.append({
+                "patient_id": query_patient.get("patient_id"),
+                "predicted_label": pred_label,
+                "vlm_decision": vlm_result["decision"],
+                "vlm_confidence": vlm_result["confidence"],
+                "final_decision": final_decision,
+                "cited_neighbors": vlm_result.get("cited_neighbors", []),
+                "rationale": vlm_result.get("rationale", ""),
+            })
+
+        decisions = [r["final_decision"] for r in audit_results]
+        n = len(decisions) or 1
+        counts = {d: decisions.count(d) for d in ("accept", "reject", "abstain")}
+        logger.info("Audit completed: accept=%d reject=%d abstain=%d",
+                    counts["accept"], counts["reject"], counts["abstain"])
+        return {
+            "audit_results": audit_results,
+            "accept_count": counts["accept"],
+            "reject_count": counts["reject"],
+            "abstain_count": counts["abstain"],
+            "accept_ratio": counts["accept"] / n if decisions else 0.0,
+            "reject_ratio": counts["reject"] / n if decisions else 0.0,
+            "abstain_ratio": counts["abstain"] / n if decisions else 0.0,
+        }
+
+    def compute_final_predictions(self, retrieval_predictions: List[str],
+                                  audit_results: List[Dict],
+                                  ground_truth: Optional[List[str]] = None
+                                  ) -> Dict:
+        """accept → keep; reject/abstain → NEEDS_REVIEW; coverage +
+        accuracy-on-accepted (vlm_audit_module.py:763-822)."""
+        final_predictions = []
+        needs_human_review = []
+        for pred, audit in zip(retrieval_predictions, audit_results):
+            if audit["final_decision"] == "accept":
+                final_predictions.append(pred)
+                needs_human_review.append(False)
+            else:
+                final_predictions.append("NEEDS_REVIEW")
+                needs_human_review.append(True)
+
+        review_ratio = sum(needs_human_review) / len(needs_human_review)
+        result = {
+            "final_predictions": final_predictions,
+            "needs_human_review": needs_human_review,
+            "coverage": 1.0 - review_ratio,
+            "human_review_ratio": review_ratio,
+        }
+        if ground_truth:
+            accepted = [i for i, needs in enumerate(needs_human_review)
+                        if not needs]
+            if accepted:
+                correct = sum(
+                    1 for i in accepted
+                    if retrieval_predictions[i] == ground_truth[i])
+                result["accuracy_on_accepted"] = correct / len(accepted)
+                result["n_accepted"] = len(accepted)
+            else:
+                result["accuracy_on_accepted"] = 0.0
+                result["n_accepted"] = 0
+        return result

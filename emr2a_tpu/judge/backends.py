@@ -1,0 +1,74 @@
+"""VLM generation backends for the judge layer.
+
+The reference binds the audit module directly to a torch
+``AutoModelForVision2Seq`` (vlm_audit_module.py:69-91).  Here the
+generation engine is a pluggable backend so the audit/review logic is
+testable without weights (FakeVLMBackend with canned/malformed outputs
+— SURVEY.md §4c) and the production path can be the JAX Qwen3-VL
+implementation (models/qwen3_vl.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Protocol, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+class VLMBackend(Protocol):
+    def generate(self, images: Sequence, prompt: str,
+                 system: Optional[str] = None, max_new_tokens: int = 1024,
+                 temperature: float = 0.0) -> str:
+        """images: PIL images (query slices + neighbor evidence);
+        returns the raw decoded model output."""
+        ...
+
+
+class FakeVLMBackend:
+    """Deterministic canned-output backend for tests and dry-runs.
+
+    ``script`` is a list of raw output strings returned in order
+    (cycled); ``fn`` may instead compute the output from the prompt.
+    """
+
+    def __init__(self, script: Optional[List[str]] = None, fn=None):
+        self.script = script or [
+            '{"decision": "accept", "confidence": 0.9,'
+            ' "cited_neighbors": [1], "rationale": "consistent"}']
+        self.fn = fn
+        self.calls: List[dict] = []
+        self._i = 0
+
+    def generate(self, images, prompt, system=None, max_new_tokens=1024,
+                 temperature=0.0) -> str:
+        self.calls.append({"n_images": len(list(images)), "prompt": prompt,
+                           "system": system, "temperature": temperature})
+        if self.fn is not None:
+            return self.fn(images, prompt)
+        out = self.script[self._i % len(self.script)]
+        self._i += 1
+        return out
+
+
+def load_backend(model_path: Optional[str], device: str = "tpu"
+                 ) -> Optional[VLMBackend]:
+    """Resolve a generation backend from a model path.
+
+    - ``fake:`` prefix (or ``fake``) → FakeVLMBackend
+    - a directory with a Qwen3-VL checkpoint → JAX Qwen backend
+    - None / load failure → None (callers degrade to abstain, matching
+      the reference's skip-and-continue semantics)
+    """
+    if model_path is None:
+        logger.warning("No VLM model path provided")
+        return None
+    mp = str(model_path)
+    if mp == "fake" or mp.startswith("fake:"):
+        return FakeVLMBackend()
+    try:
+        from emr2a_tpu.judge.qwen_backend import QwenVLBackend
+        return QwenVLBackend(mp, device=device)
+    except Exception as e:
+        logger.error("Failed to load VLM backend from %s: %s", model_path, e)
+        return None

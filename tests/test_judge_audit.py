@@ -1,0 +1,172 @@
+"""Audit module + step4 runner end-to-end with the fake VLM backend."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from emr2a_tpu.judge.audit import VLMAuditModule, select_even_slices
+from emr2a_tpu.judge.backends import FakeVLMBackend
+from emr2a_tpu.judge.review import VLMReviewModule
+from emr2a_tpu.pipelines.step4_vlm_review.run import run_vlm_audit_pipeline
+
+
+@pytest.fixture()
+def cohort(tmp_path, rng):
+    """Manifest + slice PNGs + a fold metrics.json tree (the step4
+    input contract)."""
+    from PIL import Image
+    from emr2a_tpu.data.manifest import save_manifest
+
+    records = []
+    labels4 = ["PJP", "Bacterial", "Viral", "Normal"]
+    for i in range(20):
+        pid = f"p{i:02d}"
+        pdir = tmp_path / "imgs" / pid
+        pdir.mkdir(parents=True)
+        slices = []
+        for s in range(6):
+            p = pdir / f"s{s}.png"
+            Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(p)
+            slices.append(str(p))
+        records.append({"patient_id": pid, "label": labels4[i % 4],
+                        "slices": slices,
+                        "meta": {"sex": "男", "age": "42", "fever": "有",
+                                 "symptom": "咳嗽"}})
+    manifest_path = tmp_path / "manifest.jsonl"
+    save_manifest(records, manifest_path)
+
+    # Fold metrics: each test query's neighbors are other patients.
+    exp_dir = tmp_path / "exp"
+    pids = [r["patient_id"] for r in records]
+    labs = {r["patient_id"]: r["label"] for r in records}
+    for fold in range(1, 6):
+        fold_dir = exp_dir / f"fold_{fold}"
+        fold_dir.mkdir(parents=True)
+        test_ids = pids[(fold - 1) * 4:fold * 4]
+        m = {
+            "all_top_labels": [[labs[pids[(i + j + 1) % 20]] for j in range(3)]
+                               for i in range(4)],
+            "all_top_scores": [[0.9 - 0.1 * j for j in range(3)]
+                               for _ in range(4)],
+            "all_top_patient_ids": [[pids[(i + j + 1) % 20] for j in range(3)]
+                                    for i in range(4)],
+            "test_patient_ids": test_ids,
+        }
+        (fold_dir / "metrics.json").write_text(json.dumps(m))
+    return tmp_path, manifest_path, exp_dir, records
+
+
+def test_select_even_slices():
+    paths = [f"s{i}" for i in range(10)]
+    assert select_even_slices(paths, 4) == ["s0", "s3", "s6", "s9"]
+    assert select_even_slices(paths[:3], 4) == ["s0", "s1", "s2"]
+    assert select_even_slices([], 4) == []
+
+
+def test_audit_thresholds():
+    m = VLMAuditModule(backend=FakeVLMBackend())
+    assert m._apply_decision_thresholds("accept", 0.9) == "accept"
+    assert m._apply_decision_thresholds("accept", 0.6) == "abstain"
+    assert m._apply_decision_thresholds("reject", 0.75) == "reject"
+    assert m._apply_decision_thresholds("reject", 0.3) == "abstain"
+    assert m._apply_decision_thresholds("abstain", 0.99) == "abstain"
+
+
+def test_audit_batch_with_failures(cohort, tmp_path):
+    root, manifest_path, exp_dir, records = cohort
+    from emr2a_tpu.data.manifest import load_manifest
+    manifest = load_manifest(manifest_path)
+
+    # Script: accept, thinking-reject, garbage (-> abstain via fallback)
+    backend = FakeVLMBackend(script=[
+        '{"decision": "accept", "confidence": 0.9, "rationale": "ok"}',
+        'hmm the pattern is wrong </think> {"decision": "reject", "confidence": 0.8}',
+        "%%%garbage%%%",
+    ])
+    m = VLMAuditModule(backend=backend)
+    patients = manifest[:3]
+    neighbors = [[("p05", "PJP", 0.9), ("p06", "Viral", 0.8)]] * 3
+    out = m.audit_batch(
+        retrieval_predictions=["PJP", "Viral", "Normal"],
+        retrieval_similarities=[[0.9, 0.8]] * 3,
+        retrieval_labels=[["PJP", "Viral"]] * 3,
+        query_patients=patients, top_neighbors_list=neighbors,
+        manifest=manifest, output_dir=tmp_path / "audit_out")
+    res = out["audit_results"]
+    assert [r["final_decision"] for r in res] == ["accept", "reject", "abstain"]
+    assert out["accept_count"] == 1 and out["reject_count"] == 1
+    # backend saw 4 query images + 2 neighbor-first-images
+    assert backend.calls[0]["n_images"] == 6
+
+    final = m.compute_final_predictions(
+        ["PJP", "Viral", "Normal"], res, ground_truth=["PJP", "PJP", "Normal"])
+    assert final["final_predictions"] == ["PJP", "NEEDS_REVIEW", "NEEDS_REVIEW"]
+    assert final["coverage"] == pytest.approx(1 / 3)
+    assert final["accuracy_on_accepted"] == 1.0
+
+
+def test_step4_pipeline_end_to_end(cohort, tmp_path):
+    root, manifest_path, exp_dir, records = cohort
+    backend = FakeVLMBackend(script=[
+        '{"decision": "accept", "confidence": 0.95, "cited_neighbors": [1]}',
+        '{"decision": "reject", "confidence": 0.85}',
+    ])
+    out_dir = tmp_path / "audit_pipeline"
+    results = run_vlm_audit_pipeline(
+        exp_dir=exp_dir, manifest_path=manifest_path, output_dir=out_dir,
+        max_samples=10, backend=backend, seed=42)
+
+    assert (out_dir / "vlm_audit_summary.json").exists()
+    details = [json.loads(l) for l in
+               (out_dir / "vlm_audit_details.jsonl").read_text().splitlines()]
+    assert len(details) == 10
+    assert {"patient_id", "retrieval_prediction", "ground_truth",
+            "retrieval_correct", "audit_decision", "audit_confidence",
+            "cited_neighbors", "rationale",
+            "needs_human_review"} <= set(details[0])
+    assert "aurc" in results["metrics"]["selective_prediction"]
+    assert "auroc" in results["metrics"]["error_detection"]
+    assert results["audit_summary"]["accept_count"] == 5
+    assert results["audit_summary"]["reject_count"] == 5
+    # seeded sampling is deterministic
+    results2 = run_vlm_audit_pipeline(
+        exp_dir=exp_dir, manifest_path=manifest_path,
+        output_dir=tmp_path / "audit2", max_samples=10,
+        backend=FakeVLMBackend(script=backend.script), seed=42)
+    assert results2["sample_patient_ids"] == results["sample_patient_ids"]
+
+
+def test_step4_missing_keys_error(cohort, tmp_path):
+    root, manifest_path, exp_dir, records = cohort
+    bad_dir = tmp_path / "bad_exp"
+    (bad_dir / "fold_1").mkdir(parents=True)
+    (bad_dir / "fold_1" / "metrics.json").write_text(json.dumps({"top1": 0.5}))
+    with pytest.raises(ValueError, match="missing keys"):
+        run_vlm_audit_pipeline(
+            exp_dir=bad_dir, manifest_path=manifest_path,
+            output_dir=tmp_path / "x", backend=FakeVLMBackend())
+
+
+def test_g2_review_with_fake_backend(cohort, tmp_path):
+    root, manifest_path, exp_dir, records = cohort
+    from emr2a_tpu.data.manifest import load_manifest
+    manifest = load_manifest(manifest_path)
+    backend = FakeVLMBackend(script=["PJP,0.85,covered",
+                                     "Viral,0.6,uncovered",
+                                     "not parseable at all §§§"])
+    m = VLMReviewModule(backend=backend)
+    out = m.g2_goalkeeper_review(
+        retrieval_predictions=["PJP", "Bacterial", "Normal"],
+        retrieval_similarities=[[0.9]] * 3,
+        retrieval_labels=[["PJP"]] * 3,
+        query_patients=manifest[:3],
+        top_neighbors_list=[[("p05", "PJP", 0.9)]] * 3,
+        manifest=manifest, output_dir=tmp_path / "g2")
+    assert out["vlm_predictions"][0] == "PJP"
+    assert out["agreements"] == [1, 0, 0]
+    assert out["agreement_rate"] == pytest.approx(1 / 3)
+    assert out["final_predictions"] == ["PJP", "Bacterial", "Normal"]
+    # montages written
+    assert (tmp_path / "g2" / "evidence_0").exists()

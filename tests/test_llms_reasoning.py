@@ -1,0 +1,69 @@
+"""llms factory + reasoning evaluator with the fake LLM."""
+
+import pytest
+
+from emr2a_tpu.llms import FakeLLM, create_llm
+from emr2a_tpu.reasoning import ReasoningEvaluator, build_diagnosis_prompt
+
+
+def test_factory():
+    llm = create_llm("fake")
+    assert isinstance(llm, FakeLLM)
+    with pytest.raises(ValueError, match="Unsupported LLM type"):
+        create_llm("mystery")
+
+
+def test_diagnosis_prompt_contains_cases():
+    prompt = build_diagnosis_prompt(
+        {"sex": "男", "age": "42", "fever": "有", "symptom": "咳嗽"},
+        retrieved_cases=[{"label": "PJP肺炎", "score": 0.91}])
+    assert "性别: 男" in prompt
+    assert "PJP肺炎" in prompt
+    assert "0.9100" in prompt
+    assert '"diagnosis"' in prompt
+
+
+def test_reasoning_diagnose_parses_json():
+    llm = FakeLLM(script=[
+        '前置说明```json\n{"diagnosis": "细菌性肺炎", "confidence": "高", '
+        '"reasoning": "实变影", "key_findings": ["实变"]}\n```'])
+    ev = ReasoningEvaluator(llm)
+    out = ev.diagnose({"sex": "女", "age": "30"})
+    assert out["diagnosis"] == "细菌性肺炎"
+    assert "raw_response" in out
+
+
+def test_reasoning_diagnose_fallback_on_garbage():
+    ev = ReasoningEvaluator(FakeLLM(script=["no json here"]))
+    out = ev.diagnose({"sex": "女"})
+    assert out["diagnosis"] == "未知"
+    assert out["reasoning"] == "no json here"
+
+
+def test_review_and_treatment():
+    ev = ReasoningEvaluator(FakeLLM(script=[
+        '{"final_diagnosis": "正常", "agreement_with_retrieval": "是"}',
+        '{"diagnosis_confirmation": "正常", "treatment_plan": "随访"}']))
+    r = ev.review({"sex": "男"}, {"top_k": [{"label": "正常", "score": 0.8}]})
+    assert r["final_diagnosis"] == "正常"
+    t = ev.suggest_treatment({"sex": "男"}, "正常")
+    assert t["treatment_plan"] == "随访"
+
+
+@pytest.mark.parametrize("raw,expected", [
+    ("病毒性肺炎", "病毒性肺炎"), ("Viral pneumonia", "病毒性肺炎"),
+    ("细菌", "细菌性肺炎"), ("PJP", "pjp肺炎"),
+    ("肺孢子菌肺炎", "pjp肺炎"), ("Normal chest", "正常"),
+    ("别的", "别的"),
+])
+def test_label_normalization(raw, expected):
+    ev = ReasoningEvaluator(FakeLLM())
+    assert ev._normalize_label(raw) == expected
+
+
+def test_evaluate_accuracy():
+    ev = ReasoningEvaluator(FakeLLM())
+    preds = [{"diagnosis": "viral"}, {"final_diagnosis": "正常"},
+             {"diagnosis": "PJP"}]
+    out = ev.evaluate_accuracy(preds, ["病毒性肺炎", "正常", "细菌性肺炎"])
+    assert out == {"accuracy": pytest.approx(2 / 3), "correct": 2, "total": 3}
