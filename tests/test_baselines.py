@@ -1,0 +1,171 @@
+"""Baselines: flax ResNet18 CNN training + VLM direct judging."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emr2a_tpu.baselines.cnn.compute_cnn_metrics import (
+    compute_per_class_metrics,
+    format_report,
+)
+from emr2a_tpu.baselines.cnn.train_cnn_baseline import (
+    ClinicalScaler,
+    encode_clinical,
+    sample_k_slices,
+)
+from emr2a_tpu.baselines.vlm_direct.run_vlm_direct_judging import (
+    VLMDirectJudgingBaseline,
+    calculate_agreement,
+    evaluate_predictions,
+    main as vlm_direct_main,
+)
+from emr2a_tpu.judge.backends import FakeVLMBackend
+from emr2a_tpu.models.resnet import ImageOnlyModel, MultimodalModel, ResNet18
+
+
+def test_sample_k_slices():
+    assert sample_k_slices(list("abcdefgh"), 4) == ["a", "c", "e", "g"]
+    assert sample_k_slices(["a", "b"], 4) == ["a", "b", "b", "b"]
+
+
+def test_encode_clinical():
+    np.testing.assert_array_equal(
+        encode_clinical({"sex": "男", "age": "42", "fever": "有"}),
+        [1.0, 42.0, 1.0])
+    np.testing.assert_array_equal(
+        encode_clinical({"sex": "女", "fever": "无"}), [0.0, 0.0, 0.0])
+
+
+def test_clinical_scaler():
+    rows = np.array([[1, 40, 0], [0, 60, 1]], np.float32)
+    sc = ClinicalScaler().fit(rows)
+    out = sc.transform(rows)
+    np.testing.assert_allclose(out.mean(axis=0), 0, atol=1e-6)
+
+
+def test_resnet18_shapes():
+    model = ResNet18()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    out = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 512)
+    assert "batch_stats" in variables
+
+
+def test_image_only_model_trains():
+    import optax
+    model = ImageOnlyModel(num_classes=4)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(key, (4, 2, 32, 32, 3))
+    labels = jnp.array([0, 1, 2, 3])
+    variables = dict(model.init(key, imgs, train=False))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(variables["params"])
+
+    @jax.jit
+    def step(variables, opt_state):
+        def loss_fn(params):
+            logits, upd = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                imgs, train=True, mutable=["batch_stats"])
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean(), upd["batch_stats"]
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(variables["params"], updates)
+        return {"params": params, "batch_stats": stats}, opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        variables, opt_state, loss = step(variables, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_multimodal_model_forward():
+    model = MultimodalModel(num_classes=4)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, 2, 32, 32, 3)),
+                           jnp.zeros((1, 3)), train=False)
+    out = model.apply(variables, jnp.zeros((3, 2, 32, 32, 3)),
+                      jnp.zeros((3, 3)), train=False)
+    assert out.shape == (3, 4)
+
+
+def test_per_class_metrics():
+    cm = np.array([[5, 0, 0, 0], [0, 4, 1, 0], [0, 0, 5, 0], [1, 0, 0, 4]])
+    m = compute_per_class_metrics([cm])
+    assert m["Bacterial"]["recall"][0] == 1.0
+    assert m["Normal"]["recall"][0] == pytest.approx(0.8)
+    report = format_report(m)
+    assert "| Bacterial" in report
+
+
+def test_vlm_direct_parser():
+    b = VLMDirectJudgingBaseline(backend=FakeVLMBackend())
+    out = b._parse_vlm_output(
+        '{"pred_label": "PJP", "confidence": 0.8, "rationale": "GGO"}')
+    assert out["pred_label"] == "PJP"
+    out = b._parse_vlm_output(
+        "thinking... the findings are consistent with bacterial infection "
+        "</think> oops no json")
+    assert out["pred_label"] == "Bacterial" and out["confidence"] == 0.6
+    assert b._parse_vlm_output('{"pred_label": "Banana"}') is None
+
+
+def test_vlm_direct_end_to_end(tmp_path, rng):
+    from PIL import Image
+    from emr2a_tpu.data.manifest import save_manifest
+    records = []
+    for i in range(8):
+        pid = f"p{i}"
+        pdir = tmp_path / pid
+        pdir.mkdir()
+        slices = []
+        for s in range(4):
+            p = pdir / f"{s}.png"
+            Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(p)
+            slices.append(str(p))
+        records.append({"patient_id": pid,
+                        "label": ["PJP", "Bacterial", "Viral", "Normal"][i % 4],
+                        "slices": slices, "meta": {"sex": "男", "age": "40"}})
+    mpath = tmp_path / "manifest.jsonl"
+    save_manifest(records, mpath)
+
+    backend = FakeVLMBackend(script=[
+        '{"pred_label": "PJP", "confidence": 0.9, "rationale": "x"}',
+        '{"pred_label": "Normal", "confidence": 0.7, "rationale": "y"}'])
+    out_dir = tmp_path / "out"
+    vlm_direct_main(["--manifest", str(mpath), "--output_dir", str(out_dir),
+                     "--temperatures", "0.0", "0.5"], backend=backend)
+    results = json.loads(
+        (out_dir / "vlm_direct_judging_results.json").read_text())
+    assert "all_patients" in results["folds"]
+    fold = results["folds"]["all_patients"]
+    assert len(fold["predictions"]["temp_0.0"]) == 8
+    assert "agreement" in fold
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert "temp_0.0" in summary["average_metrics"]
+    assert "agreement" in summary["average_metrics"]
+
+
+def test_agreement_metric():
+    run1 = [{"patient_id": "a", "true_label": "PJP", "pred_label": "PJP"},
+            {"patient_id": "b", "true_label": "Viral", "pred_label": "Viral"}]
+    run2 = [{"patient_id": "a", "true_label": "PJP", "pred_label": "PJP"},
+            {"patient_id": "b", "true_label": "Viral", "pred_label": "Normal"}]
+    out = calculate_agreement([run1, run2])
+    assert out["overall_agreement"] == pytest.approx(0.75)
+
+
+def test_evaluate_predictions():
+    preds = [{"pred_label": "PJP", "true_label": "PJP"},
+             {"pred_label": "Viral", "true_label": "Normal"}]
+    m = evaluate_predictions(preds)
+    assert m["accuracy"] == 0.5
+    assert m["num_samples"] == 2
+    assert set(m["per_class"]) == {"PJP", "Bacterial", "Viral", "Normal"}
