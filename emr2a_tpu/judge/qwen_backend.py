@@ -1,0 +1,130 @@
+"""Qwen3-VL generation backend — the production judge engine.
+
+Implements the VLMBackend protocol (judge/backends.py) on the JAX
+Qwen3-VL model (models/qwen3_vl.py): chat-template the prompt +
+images, patchify through the Qwen image processor, run
+prefill + scan-decode generation, decode text.
+
+Capability parity: the reference's torch generate path used by
+vlm_audit_module.py:249-364, utils/vlm_review.py:164-258 and
+qwen3_llm.py:83-130 (temperature>0 toggles sampling).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from emr2a_tpu.models.qwen3_vl import (
+    Qwen3VLGenerator,
+    Qwen3VLModel,
+    convert_hf_qwen3_vl,
+    qwen3_vl_config_from_hf,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class QwenVLBackend:
+
+    def __init__(self, model_path: str, device: str = "tpu",
+                 config=None, params=None, tokenizer=None,
+                 image_processor=None, prompt_bucket: int = 128):
+        self.model_path = model_path
+        self.prompt_bucket = prompt_bucket
+        if params is None:
+            mp = Path(model_path)
+            with (mp / "config.json").open() as f:
+                hf_cfg = json.load(f)
+            config = qwen3_vl_config_from_hf(hf_cfg)
+            from emr2a_tpu.models.checkpoint import load_state_dict
+            params = convert_hf_qwen3_vl(load_state_dict(mp),
+                                         config.vision.depth,
+                                         config.text.num_layers)
+        if tokenizer is None and model_path is not None:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(str(model_path))
+        if image_processor is None:
+            from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
+            image_processor = make_image_processor(config.vision)
+        self.config = config
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor
+        self.model = Qwen3VLModel(config)
+        eos = getattr(tokenizer, "eos_token_id", None) or 151645
+        self.generator = Qwen3VLGenerator(self.model, params,
+                                          eos_token_id=int(eos))
+
+    # -- prompt assembly --
+
+    def _render_chat(self, n_images: int, prompt: str,
+                     system: Optional[str]) -> str:
+        """Chat-template with image placeholders expanded later; uses the
+        tokenizer's template when available."""
+        content = [{"type": "image"}] * n_images + [
+            {"type": "text", "text": prompt}]
+        messages = []
+        if system:
+            messages.append({"role": "system", "content": system})
+        messages.append({"role": "user", "content": content})
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            try:
+                return self.tokenizer.apply_chat_template(
+                    messages, tokenize=False, add_generation_prompt=True)
+            except Exception:
+                pass
+        # minimal fallback template
+        sys_part = f"<|im_start|>system\n{system}<|im_end|>\n" if system else ""
+        img_part = "<|vision_start|><|image_pad|><|vision_end|>" * n_images
+        return (f"{sys_part}<|im_start|>user\n{img_part}{prompt}<|im_end|>\n"
+                f"<|im_start|>assistant\n")
+
+    def _expand_image_tokens(self, ids: List[int],
+                             tokens_per_image: List[int]) -> List[int]:
+        """Replace each single image_pad token with its per-image count."""
+        out: List[int] = []
+        img_i = 0
+        image_token = self.config.image_token_id
+        for t in ids:
+            if t == image_token and img_i < len(tokens_per_image):
+                out.extend([image_token] * tokens_per_image[img_i])
+                img_i += 1
+            else:
+                out.append(t)
+        return out
+
+    def generate(self, images: Sequence, prompt: str,
+                 system: Optional[str] = None, max_new_tokens: int = 1024,
+                 temperature: float = 0.0) -> str:
+        images = list(images)
+        patches_list = []
+        grids: List[Tuple[int, int, int]] = []
+        tokens_per_image = []
+        for img in images:
+            proc = self.image_processor(images=[np.asarray(img)],
+                                        return_tensors="np")
+            patches_list.append(proc["pixel_values"])
+            g = tuple(int(x) for x in proc["image_grid_thw"][0])
+            grids.append(g)
+            merge = self.config.vision.spatial_merge_size
+            tokens_per_image.append(g[0] * g[1] * g[2] // merge ** 2)
+
+        text = self._render_chat(len(images), prompt, system)
+        ids = self.tokenizer(text, add_special_tokens=False)["input_ids"]
+        ids = self._expand_image_tokens(ids, tokens_per_image)
+        input_ids = np.asarray([ids], dtype=np.int64)
+
+        pixel_patches = (np.concatenate(patches_list, axis=0)
+                         if patches_list else None)
+        out_ids = self.generator.generate(
+            input_ids, pixel_patches=pixel_patches, grid_thw=tuple(grids),
+            max_new_tokens=max_new_tokens, temperature=temperature)
+        tokens = out_ids[0].tolist()
+        eos = self.generator.eos_token_id
+        if eos in tokens:
+            tokens = tokens[:tokens.index(eos)]
+        return self.tokenizer.decode(tokens, skip_special_tokens=True)

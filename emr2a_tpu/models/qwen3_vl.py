@@ -1,0 +1,794 @@
+"""Qwen3-VL in JAX/flax: vision tower + text LM + generation.
+
+Capability target (reference): the Qwen3-VL 2B/8B "thinking" models used
+as (a) hidden-state-tap encoders
+(encoders/qwen3_vl_8b_thinking_encoder.py:60-173) and (b) the
+generative judge for audit/review/direct-judging.  Architecture
+reproduced from the public HF implementation (verified by parity tests
+against random-init torch models):
+
+- Vision: conv3d patch embed (expressed as one dense matmul over the
+  flattened (C, tp, p, p) patch), bilinear-interpolated learned pos
+  embeddings in spatial-merge token order, 2D rotary embeddings over
+  patch coordinates, pre-LN blocks (eps 1e-6, fused-qkv source
+  layout), deepstack mergers at configured depths (post-shuffle norm),
+  final 2x2 spatial merger to the LM width.
+- Text: Qwen3 decoder — RMSNorm, GQA with per-head-dim q/k RMS norms,
+  interleaved 3D M-RoPE (t/h/w sections), SwiGLU MLP, tied or separate
+  lm_head.
+- Fusion: image embeddings spliced at image-token positions
+  (gather-by-cumsum instead of masked_scatter), deepstack features
+  added to the first len(deepstack) decoder layers' hidden states at
+  visual positions.
+- Generation: prefill + lax.scan decode over a static-shape KV cache,
+  greedy or temperature sampling.
+
+TPU notes: grid_thw and prompt lengths are static per compilation
+(bucketed by callers); attention is einsum with f32 softmax; the KV
+cache lives in HBM with dynamic_update_slice writes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from emr2a_tpu.models.layers import ACTIVATIONS
+
+# ---------------------------------------------------------------------------
+# Configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QwenVisionConfig:
+    depth: int = 27
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 16
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    out_hidden_size: int = 3584
+    num_position_embeddings: int = 2304
+    deepstack_visual_indexes: Tuple[int, ...] = (8, 16, 24)
+    hidden_act: str = "gelu_pytorch_tanh"
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size ** 2
+
+
+@dataclass(frozen=True)
+class QwenTextConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 4096
+    num_layers: int = 36
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 12288
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 5e6
+    mrope_section: Tuple[int, int, int] = (24, 20, 20)
+    attention_bias: bool = False
+    tie_word_embeddings: bool = True
+    hidden_act: str = "silu"
+    dtype: Any = jnp.float32
+
+
+@dataclass(frozen=True)
+class Qwen3VLConfig:
+    vision: QwenVisionConfig = field(default_factory=QwenVisionConfig)
+    text: QwenTextConfig = field(default_factory=QwenTextConfig)
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x, scale, eps):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    out = x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        return rms_norm(x, scale, self.eps)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q/k: (..., S, H, D); cos/sin broadcastable to (..., S, 1, D).
+    Computed in f32 (HF forces float here)."""
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    cos = cos.astype(jnp.float32)
+    sin = sin.astype(jnp.float32)
+    q_out = qf * cos + _rotate_half(qf) * sin
+    k_out = kf * cos + _rotate_half(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+def vision_rope_cos_sin(grid_thw: Sequence[Tuple[int, int, int]],
+                        head_dim: int, merge_size: int,
+                        theta: float = 10000.0) -> Tuple[np.ndarray, np.ndarray]:
+    """(seq, head_dim) cos/sin for the 2D vision RoPE, tokens in
+    merge-block order (matches Qwen3VLVisionModel.rot_pos_emb)."""
+    dim_quarter = head_dim // 4
+    inv_freq = 1.0 / theta ** (np.arange(0, dim_quarter, dtype=np.float32)
+                               * 2 / (head_dim // 2))
+    all_coords = []
+    for t, h, w in grid_thw:
+        mh, mw = h // merge_size, w // merge_size
+        # full-resolution (row, col) in merge-block token order
+        block_rows = np.arange(mh)
+        block_cols = np.arange(mw)
+        intra = np.arange(merge_size)
+        row_idx = (block_rows[:, None, None, None] * merge_size
+                   + intra[None, None, :, None])
+        col_idx = (block_cols[None, :, None, None] * merge_size
+                   + intra[None, None, None, :])
+        row_idx = np.broadcast_to(row_idx, (mh, mw, merge_size, merge_size)).reshape(-1)
+        col_idx = np.broadcast_to(col_idx, (mh, mw, merge_size, merge_size)).reshape(-1)
+        coords = np.stack([row_idx, col_idx], axis=-1)
+        if t > 1:
+            coords = np.tile(coords, (t, 1))
+        all_coords.append(coords)
+    coords = np.concatenate(all_coords, axis=0)          # (seq, 2)
+    freqs = coords[:, :, None].astype(np.float32) * inv_freq[None, None, :]
+    freqs = freqs.reshape(coords.shape[0], -1)           # (seq, head_dim/2)
+    emb = np.concatenate([freqs, freqs], axis=-1)        # (seq, head_dim)
+    return np.cos(emb), np.sin(emb)
+
+
+def interpolated_pos_embed_indices(grid_thw: Sequence[Tuple[int, int, int]],
+                                   num_grid_per_side: int, merge_size: int
+                                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Bilinear interpolation of the (side x side) learned pos-embed
+    table onto each grid, emitted in merge-block token order.  Returns
+    (4, seq) int indices and (4, seq) float weights
+    (matches fast_pos_embed_interpolate)."""
+    idx_list = [[] for _ in range(4)]
+    w_list = [[] for _ in range(4)]
+    per_image_hw = []
+    for t, h, w in grid_thw:
+        h_idxs = np.linspace(0, num_grid_per_side - 1, h, dtype=np.float32)
+        w_idxs = np.linspace(0, num_grid_per_side - 1, w, dtype=np.float32)
+        h_floor = h_idxs.astype(np.int64)
+        w_floor = w_idxs.astype(np.int64)
+        h_ceil = np.clip(h_floor + 1, None, num_grid_per_side - 1)
+        w_ceil = np.clip(w_floor + 1, None, num_grid_per_side - 1)
+        dh = h_idxs - h_floor
+        dw = w_idxs - w_floor
+        base_h = h_floor * num_grid_per_side
+        base_h_ceil = h_ceil * num_grid_per_side
+        indices = [
+            (base_h[:, None] + w_floor[None]).reshape(-1),
+            (base_h[:, None] + w_ceil[None]).reshape(-1),
+            (base_h_ceil[:, None] + w_floor[None]).reshape(-1),
+            (base_h_ceil[:, None] + w_ceil[None]).reshape(-1),
+        ]
+        weights = [
+            ((1 - dh)[:, None] * (1 - dw)[None]).reshape(-1),
+            ((1 - dh)[:, None] * dw[None]).reshape(-1),
+            (dh[:, None] * (1 - dw)[None]).reshape(-1),
+            (dh[:, None] * dw[None]).reshape(-1),
+        ]
+        for i in range(4):
+            idx_list[i].append(indices[i])
+            w_list[i].append(weights[i])
+        per_image_hw.append((t, h, w))
+    idx = np.stack([np.concatenate(x) for x in idx_list])
+    wts = np.stack([np.concatenate(x) for x in w_list]).astype(np.float32)
+    return idx, wts
+
+
+def permute_to_merge_order(flat: jnp.ndarray,
+                           grid_thw: Sequence[Tuple[int, int, int]],
+                           merge_size: int) -> jnp.ndarray:
+    """Reorder per-image (t*h*w, D) row-major tokens into merge-block
+    order (the pos-embed permute in fast_pos_embed_interpolate)."""
+    outs = []
+    offset = 0
+    for t, h, w in grid_thw:
+        n = h * w
+        x = flat[offset:offset + n]
+        x = jnp.tile(x, (t, 1))
+        d = x.shape[-1]
+        x = x.reshape(t, h // merge_size, merge_size, w // merge_size,
+                      merge_size, d)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, d)
+        outs.append(x)
+        offset += n
+    return jnp.concatenate(outs, axis=0)
+
+
+class QwenVisionBlock(nn.Module):
+    config: QwenVisionConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        cfg = self.config
+        S, d = x.shape
+        h = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm1")(x)
+        q = nn.Dense(d, dtype=cfg.dtype, name="q_proj")(h)
+        k = nn.Dense(d, dtype=cfg.dtype, name="k_proj")(h)
+        v = nn.Dense(d, dtype=cfg.dtype, name="v_proj")(h)
+        hd = cfg.head_dim
+        q = q.reshape(S, cfg.num_heads, hd)
+        k = k.reshape(S, cfg.num_heads, hd)
+        v = v.reshape(S, cfg.num_heads, hd)
+        q, k = apply_rope(q, k, cos[:, None, :], sin[:, None, :])
+        logits = jnp.einsum("qhd,khd->hqk", q, k,
+                            preferred_element_type=jnp.float32) * hd ** -0.5
+        probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+        attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(S, d)
+        x = x + nn.Dense(d, dtype=cfg.dtype, name="o_proj")(attn)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm2")(x)
+        act = ACTIVATIONS[cfg.hidden_act]
+        m = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="fc1")(h)
+        m = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(act(m))
+        return x + m
+
+
+class QwenPatchMerger(nn.Module):
+    config: QwenVisionConfig
+    use_postshuffle_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        merged_dim = cfg.hidden_size * cfg.spatial_merge_size ** 2
+        if self.use_postshuffle_norm:
+            x = x.reshape(-1, merged_dim)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm")(x)
+        else:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm")(x)
+            x = x.reshape(-1, merged_dim)
+        x = nn.Dense(merged_dim, dtype=cfg.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(cfg.out_hidden_size, dtype=cfg.dtype, name="fc2")(x)
+
+
+class QwenVisionTower(nn.Module):
+    """pixel patches (seq, patch_dim) + static grid_thw ->
+    (merged tokens (seq/merge², out_hidden), deepstack list, taps)."""
+
+    config: QwenVisionConfig
+
+    @nn.compact
+    def __call__(self, patches: jnp.ndarray,
+                 grid_thw: Tuple[Tuple[int, int, int], ...],
+                 tap_layers: Tuple[int, ...] = ()):
+        cfg = self.config
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="patch_embed")(patches)
+
+        side = int(cfg.num_position_embeddings ** 0.5)
+        idx, wts = interpolated_pos_embed_indices(grid_thw, side,
+                                                  cfg.spatial_merge_size)
+        table = self.param("pos_embed", nn.initializers.normal(0.02),
+                           (cfg.num_position_embeddings, cfg.hidden_size))
+        pos = (table[idx[0]] * wts[0][:, None] + table[idx[1]] * wts[1][:, None]
+               + table[idx[2]] * wts[2][:, None] + table[idx[3]] * wts[3][:, None])
+        pos = permute_to_merge_order(pos, grid_thw, cfg.spatial_merge_size)
+        x = x + pos.astype(x.dtype)
+
+        cos_np, sin_np = vision_rope_cos_sin(grid_thw, cfg.head_dim,
+                                             cfg.spatial_merge_size)
+        cos = jnp.asarray(cos_np)
+        sin = jnp.asarray(sin_np)
+
+        deepstack = []
+        taps = []
+        for i in range(cfg.depth):
+            x = QwenVisionBlock(cfg, name=f"block_{i}")(x, cos, sin)
+            if i in cfg.deepstack_visual_indexes:
+                j = cfg.deepstack_visual_indexes.index(i)
+                deepstack.append(QwenPatchMerger(
+                    cfg, use_postshuffle_norm=True,
+                    name=f"deepstack_merger_{j}")(x))
+            if i in tap_layers:
+                taps.append(x)
+        merged = QwenPatchMerger(cfg, use_postshuffle_norm=False,
+                                 name="merger")(x)
+        return merged, deepstack, taps
+
+
+# ---------------------------------------------------------------------------
+# Text model
+# ---------------------------------------------------------------------------
+
+
+def mrope_cos_sin(position_ids: jnp.ndarray, inv_freq: np.ndarray,
+                  mrope_section: Tuple[int, int, int]
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """position_ids (3, B, S) -> cos/sin (B, S, head_dim) with
+    interleaved t/h/w frequency layout (apply_interleaved_mrope)."""
+    freqs = (position_ids[..., None].astype(jnp.float32)
+             * jnp.asarray(inv_freq)[None, None, None, :])  # (3,B,S,hd/2)
+    freqs_t = freqs[0]
+    half = freqs.shape[-1]
+    idx = np.arange(half)
+    for dim, offset in ((1, 1), (2, 2)):
+        length = mrope_section[dim] * 3
+        sel = (idx >= offset) & (idx < length) & ((idx - offset) % 3 == 0)
+        mask = jnp.asarray(sel)
+        freqs_t = jnp.where(mask[None, None, :], freqs[dim], freqs_t)
+    emb = jnp.concatenate([freqs_t, freqs_t], axis=-1)  # (B,S,head_dim)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+class QwenTextDecoderLayer(nn.Module):
+    config: QwenTextConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, cache_kv, cache_pos, attn_mask):
+        """x: (B, S, D). cache_kv: None or (k, v) with shape
+        (B, L, KV, HD); cache_pos: starting write offset (traced).
+        attn_mask: (B, S, L_total) additive f32.
+        Returns (x, new_cache_kv)."""
+        cfg = self.config
+        B, S, d = x.shape
+        hd = cfg.head_dim
+
+        h = RMSNorm(cfg.rms_norm_eps, name="input_ln")(x)
+        q = nn.Dense(cfg.num_heads * hd, use_bias=cfg.attention_bias,
+                     dtype=cfg.dtype, name="q_proj")(h)
+        k = nn.Dense(cfg.num_kv_heads * hd, use_bias=cfg.attention_bias,
+                     dtype=cfg.dtype, name="k_proj")(h)
+        v = nn.Dense(cfg.num_kv_heads * hd, use_bias=cfg.attention_bias,
+                     dtype=cfg.dtype, name="v_proj")(h)
+        q = q.reshape(B, S, cfg.num_heads, hd)
+        k = k.reshape(B, S, cfg.num_kv_heads, hd)
+        v = v.reshape(B, S, cfg.num_kv_heads, hd)
+
+        # per-head-dim RMS norms (Qwen3 style)
+        q_scale = self.param("q_norm_scale", nn.initializers.ones, (hd,))
+        k_scale = self.param("k_norm_scale", nn.initializers.ones, (hd,))
+        q = rms_norm(q, q_scale, cfg.rms_norm_eps)
+        k = rms_norm(k, k_scale, cfg.rms_norm_eps)
+
+        q, k = apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
+
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_pos, 0, 0))
+            k_all, v_all = ck, cv
+            new_cache = (ck, cv)
+        else:
+            k_all, v_all = k, v
+            new_cache = None
+
+        # GQA: repeat kv heads
+        groups = cfg.num_heads // cfg.num_kv_heads
+        k_rep = jnp.repeat(k_all, groups, axis=2)
+        v_rep = jnp.repeat(v_all, groups, axis=2)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_rep,
+                            preferred_element_type=jnp.float32) * hd ** -0.5
+        logits = logits + attn_mask[:, None, :, :]
+        probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
+        attn = attn.reshape(B, S, cfg.num_heads * hd)
+        x = x + nn.Dense(d, use_bias=cfg.attention_bias, dtype=cfg.dtype,
+                         name="o_proj")(attn)
+
+        h = RMSNorm(cfg.rms_norm_eps, name="post_ln")(x)
+        act = ACTIVATIONS[cfg.hidden_act]
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        dtype=cfg.dtype, name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False,
+                      dtype=cfg.dtype, name="up_proj")(h)
+        down = nn.Dense(d, use_bias=False, dtype=cfg.dtype,
+                        name="down_proj")(act(gate) * up)
+        return x + down, new_cache
+
+
+class QwenTextModel(nn.Module):
+    config: QwenTextConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                     dtype=cfg.dtype, name="embed_tokens")
+        self.layers = [QwenTextDecoderLayer(cfg, name=f"layer_{i}")
+                       for i in range(cfg.num_layers)]
+        self.final_ln = RMSNorm(cfg.rms_norm_eps, name="final_ln")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    dtype=cfg.dtype, name="lm_head")
+
+    @property
+    def inv_freq(self) -> np.ndarray:
+        cfg = self.config
+        return 1.0 / cfg.rope_theta ** (
+            np.arange(0, cfg.head_dim, 2, dtype=np.float32) / cfg.head_dim)
+
+    def __call__(self, inputs_embeds, position_ids, cache=None, cache_pos=0,
+                 attn_mask=None, visual_mask=None, deepstack=None,
+                 return_hidden: bool = False):
+        """inputs_embeds (B,S,D); position_ids (3,B,S); cache: list of
+        per-layer (k,v) or None; attn_mask (B,S,L) additive.
+        Returns (logits_or_hidden, new_cache)."""
+        cfg = self.config
+        x = inputs_embeds
+        cos, sin = mrope_cos_sin(position_ids, self.inv_freq,
+                                 cfg.mrope_section)
+        if attn_mask is None:
+            B, S, _ = x.shape
+            q_idx = jnp.arange(S)[:, None]
+            k_idx = jnp.arange(S)[None, :]
+            attn_mask = jnp.where(k_idx <= q_idx, 0.0, -jnp.inf)[None].astype(jnp.float32)
+            attn_mask = jnp.broadcast_to(attn_mask, (B, S, S))
+
+        new_cache = []
+        n_deep = len(deepstack) if deepstack else 0
+        for i, layer in enumerate(self.layers):
+            x, layer_cache = layer(x, cos, sin,
+                                   cache[i] if cache is not None else None,
+                                   cache_pos, attn_mask)
+            new_cache.append(layer_cache)
+            if i < n_deep and visual_mask is not None:
+                # add deepstack features at visual token positions:
+                # gather rows by cumsum index, mask off text positions.
+                ds = deepstack[i]  # (n_visual, D)
+                gather_idx = jnp.clip(
+                    jnp.cumsum(visual_mask.astype(jnp.int32), axis=-1) - 1,
+                    0, ds.shape[0] - 1)
+                add = ds[gather_idx]  # (B, S, D)
+                x = x + jnp.where(visual_mask[..., None],
+                                  add.astype(x.dtype), 0)
+
+        x = self.final_ln(x)
+        if return_hidden:
+            return x, new_cache
+        if cfg.tie_word_embeddings:
+            logits = x @ self.embed_tokens.embedding.T.astype(x.dtype)
+        else:
+            logits = self.lm_head(x)
+        return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full model + generation
+# ---------------------------------------------------------------------------
+
+
+class Qwen3VLModel(nn.Module):
+    """Multimodal forward: ids + optional image patches -> logits."""
+
+    config: Qwen3VLConfig
+
+    def setup(self):
+        self.visual = QwenVisionTower(self.config.vision, name="visual")
+        self.language_model = QwenTextModel(self.config.text,
+                                            name="language_model")
+
+    def embed_multimodal(self, input_ids, pixel_patches, grid_thw):
+        """Token embeddings with image embeddings spliced at
+        image-token positions; returns (embeds, visual_mask, deepstack)."""
+        embeds = self.language_model.embed_tokens(input_ids)
+        if pixel_patches is None:
+            return embeds, None, None
+        image_embeds, deepstack, _ = self.visual(pixel_patches, grid_thw)
+        mask = input_ids == self.config.image_token_id  # (B,S)
+        gather_idx = jnp.clip(
+            jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1,
+            0, image_embeds.shape[0] - 1)
+        spliced = image_embeds[gather_idx].astype(embeds.dtype)
+        embeds = jnp.where(mask[..., None], spliced, embeds)
+        return embeds, mask, deepstack
+
+    def __call__(self, input_ids, position_ids, pixel_patches=None,
+                 grid_thw=(), cache=None, cache_pos=0, attn_mask=None,
+                 return_hidden: bool = False):
+        embeds, visual_mask, deepstack = self.embed_multimodal(
+            input_ids, pixel_patches, grid_thw)
+        return self.language_model(
+            embeds, position_ids, cache=cache, cache_pos=cache_pos,
+            attn_mask=attn_mask, visual_mask=visual_mask,
+            deepstack=deepstack, return_hidden=return_hidden)
+
+
+def compute_mrope_position_ids(input_ids: np.ndarray,
+                               grid_thw: Sequence[Tuple[int, int, int]],
+                               image_token_id: int,
+                               merge_size: int = 2) -> np.ndarray:
+    """Host-side M-RoPE position ids (3, B, S) — text tokens advance
+    all three axes together; each image block gets t/h/w grid positions
+    (get_rope_index semantics, images only, no padding)."""
+    B, S = input_ids.shape
+    out = np.zeros((3, B, S), dtype=np.int64)
+    for b in range(B):
+        ids = input_ids[b]
+        pos_chunks = []
+        st = 0
+        img_i = 0
+        image_positions = np.where(ids == image_token_id)[0]
+        # find contiguous image runs
+        runs = []
+        if len(image_positions):
+            run_start = image_positions[0]
+            prev = image_positions[0]
+            for p in image_positions[1:]:
+                if p != prev + 1:
+                    runs.append((run_start, prev))
+                    run_start = p
+                prev = p
+            runs.append((run_start, prev))
+        for run_start, run_end in runs:
+            text_len = run_start - st
+            st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
+            if text_len > 0:
+                pos_chunks.append(
+                    np.broadcast_to(np.arange(text_len), (3, text_len)) + st_idx)
+                st_idx = pos_chunks[-1].max() + 1
+            t, h, w = grid_thw[img_i]
+            img_i += 1
+            gh, gw = h // merge_size, w // merge_size
+            t_index = np.repeat(np.arange(t), gh * gw)
+            h_index = np.tile(np.repeat(np.arange(gh), gw), t)
+            w_index = np.tile(np.arange(gw), t * gh)
+            pos_chunks.append(np.stack([t_index, h_index, w_index]) + st_idx)
+            st = run_end + 1
+        if st < S:
+            st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
+            text_len = S - st
+            pos_chunks.append(
+                np.broadcast_to(np.arange(text_len), (3, text_len)) + st_idx)
+        out[:, b, :] = np.concatenate(pos_chunks, axis=1)
+    return out
+
+
+class Qwen3VLGenerator:
+    """Prefill + scan-decode greedy/sampled generation over a static
+    KV cache.  One compile per (prompt bucket, max_new_tokens)."""
+
+    def __init__(self, model: Qwen3VLModel, params, max_new_tokens: int = 1024,
+                 eos_token_id: int = 151645):
+        self.model = model
+        self.params = params
+        self.config = model.config
+        self.max_new_tokens = max_new_tokens
+        self.eos_token_id = eos_token_id
+        self._jitted: Dict = {}
+
+    def _empty_cache(self, batch: int, max_len: int):
+        cfg = self.config.text
+        return [
+            (jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
+                       cfg.dtype),
+             jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
+                       cfg.dtype))
+            for _ in range(cfg.num_layers)]
+
+    def _build(self, prompt_len: int, grid_thw, max_new: int, temperature: float):
+        cfg = self.config
+        max_len = prompt_len + max_new
+
+        def run(params, input_ids, position_ids, pixel_patches, rng):
+            B = input_ids.shape[0]
+            cache = self._empty_cache(B, max_len)
+            # Prefill: causal over the prompt, keys padded to max_len.
+            q_idx = jnp.arange(prompt_len)[:, None]
+            k_idx = jnp.arange(max_len)[None, :]
+            mask = jnp.where((k_idx <= q_idx), 0.0, -jnp.inf)[None]
+            mask = jnp.broadcast_to(mask, (B, prompt_len, max_len)).astype(jnp.float32)
+            logits, cache = self.model.apply(
+                {"params": params}, input_ids, position_ids,
+                pixel_patches=pixel_patches, grid_thw=grid_thw,
+                cache=cache, cache_pos=0, attn_mask=mask)
+            next_pos_base = position_ids.max() + 1
+
+            def sample(logits_last, key):
+                if temperature > 0:
+                    return jax.random.categorical(
+                        key, logits_last.astype(jnp.float32) / temperature, axis=-1)
+                return jnp.argmax(logits_last, axis=-1)
+
+            key0, rng = jax.random.split(rng)
+            first_token = sample(logits[:, -1], key0)
+
+            def step(carry, _):
+                cache, token, step_i, key, done = carry
+                key, sub = jax.random.split(key)
+                pos_scalar = next_pos_base + step_i
+                pos = jnp.broadcast_to(pos_scalar, (3, B, 1))
+                k_idx = jnp.arange(max_len)[None, None, :]
+                mask = jnp.where(k_idx <= prompt_len + step_i, 0.0, -jnp.inf)
+                mask = jnp.broadcast_to(mask, (B, 1, max_len)).astype(jnp.float32)
+                logits, cache = self.model.apply(
+                    {"params": params}, token[:, None], pos,
+                    cache=cache, cache_pos=prompt_len + step_i,
+                    attn_mask=mask)
+                nxt = sample(logits[:, -1], sub)
+                done = done | (token == self.eos_token_id)
+                nxt = jnp.where(done, self.eos_token_id, nxt)
+                return (cache, nxt, step_i + 1, key, done), token
+
+            init = (cache, first_token, jnp.int32(0), rng,
+                    jnp.zeros((B,), bool))
+            _, tokens = jax.lax.scan(step, init, None, length=max_new)
+            return tokens.swapaxes(0, 1)  # (B, max_new)
+
+        return jax.jit(run)
+
+    def generate(self, input_ids: np.ndarray,
+                 pixel_patches: Optional[np.ndarray] = None,
+                 grid_thw: Tuple[Tuple[int, int, int], ...] = (),
+                 max_new_tokens: Optional[int] = None,
+                 temperature: float = 0.0, seed: int = 0) -> np.ndarray:
+        """input_ids (B, S) without padding; returns (B, new) token ids
+        (eos-padded after stop)."""
+        max_new = max_new_tokens or self.max_new_tokens
+        position_ids = compute_mrope_position_ids(
+            np.asarray(input_ids), grid_thw, self.config.image_token_id,
+            self.config.vision.spatial_merge_size)
+        key = (input_ids.shape[1], tuple(grid_thw), max_new,
+               float(temperature))
+        if key not in self._jitted:
+            self._jitted[key] = self._build(input_ids.shape[1], tuple(grid_thw),
+                                            max_new, temperature)
+        patches = (jnp.asarray(pixel_patches)
+                   if pixel_patches is not None else None)
+        tokens = self._jitted[key](
+            self.params, jnp.asarray(input_ids), jnp.asarray(position_ids),
+            patches, jax.random.PRNGKey(seed))
+        return np.asarray(tokens)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_qwen3_vl(sd: Dict[str, np.ndarray], vision_depth: int,
+                        text_layers: int) -> Dict:
+    """HF Qwen3VLForConditionalGeneration state dict -> Qwen3VLModel
+    params (handles both 'model.visual.*' and 'visual.*' prefixes)."""
+    from emr2a_tpu.models.convert import _dense, _ln
+
+    prefix = "model." if any(k.startswith("model.visual.") for k in sd) else ""
+    vp = prefix + "visual."
+    tp = prefix + "language_model."
+
+    def merger(base):
+        return {
+            "norm": _ln(sd, base + "norm"),
+            "fc1": _dense(sd, base + "linear_fc1"),
+            "fc2": _dense(sd, base + "linear_fc2"),
+        }
+
+    visual: Dict = {
+        "patch_embed": {
+            "kernel": sd[vp + "patch_embed.proj.weight"].reshape(
+                sd[vp + "patch_embed.proj.weight"].shape[0], -1).T,
+            "bias": sd[vp + "patch_embed.proj.bias"],
+        },
+        "pos_embed": sd[vp + "pos_embed.weight"],
+        "merger": merger(vp + "merger."),
+    }
+    n_deep = len([k for k in sd if "deepstack_merger_list" in k
+                  and k.endswith("linear_fc1.weight")])
+    for j in range(n_deep):
+        visual[f"deepstack_merger_{j}"] = merger(
+            vp + f"deepstack_merger_list.{j}.")
+    for i in range(vision_depth):
+        b = vp + f"blocks.{i}."
+        qkv_w = sd[b + "attn.qkv.weight"]
+        qkv_b = sd.get(b + "attn.qkv.bias")
+        d = qkv_w.shape[1]
+        block = {
+            "norm1": _ln(sd, b + "norm1"),
+            "norm2": _ln(sd, b + "norm2"),
+            "q_proj": {"kernel": qkv_w[:d].T},
+            "k_proj": {"kernel": qkv_w[d:2 * d].T},
+            "v_proj": {"kernel": qkv_w[2 * d:].T},
+            "o_proj": _dense(sd, b + "attn.proj"),
+            "fc1": _dense(sd, b + "mlp.linear_fc1"),
+            "fc2": _dense(sd, b + "mlp.linear_fc2"),
+        }
+        if qkv_b is not None:
+            block["q_proj"]["bias"] = qkv_b[:d]
+            block["k_proj"]["bias"] = qkv_b[d:2 * d]
+            block["v_proj"]["bias"] = qkv_b[2 * d:]
+        visual[f"block_{i}"] = block
+
+    text: Dict = {
+        "embed_tokens": {"embedding": sd[tp + "embed_tokens.weight"]},
+        "final_ln": {"scale": sd[tp + "norm.weight"]},
+    }
+    for i in range(text_layers):
+        b = tp + f"layers.{i}."
+        text[f"layer_{i}"] = {
+            "input_ln": {"scale": sd[b + "input_layernorm.weight"]},
+            "post_ln": {"scale": sd[b + "post_attention_layernorm.weight"]},
+            "q_proj": _dense(sd, b + "self_attn.q_proj"),
+            "k_proj": _dense(sd, b + "self_attn.k_proj"),
+            "v_proj": _dense(sd, b + "self_attn.v_proj"),
+            "o_proj": _dense(sd, b + "self_attn.o_proj"),
+            "q_norm_scale": sd[b + "self_attn.q_norm.weight"],
+            "k_norm_scale": sd[b + "self_attn.k_norm.weight"],
+            "gate_proj": _dense(sd, b + "mlp.gate_proj"),
+            "up_proj": _dense(sd, b + "mlp.up_proj"),
+            "down_proj": _dense(sd, b + "mlp.down_proj"),
+        }
+    lm_head_key = "lm_head.weight"
+    if lm_head_key in sd:
+        text["lm_head"] = {"kernel": sd[lm_head_key].T}
+    return {"visual": visual, "language_model": text}
+
+
+def qwen3_vl_config_from_hf(cfg: Dict) -> Qwen3VLConfig:
+    v = cfg.get("vision_config", {})
+    t = cfg.get("text_config", {})
+    rope_scaling = t.get("rope_scaling") or {}
+    return Qwen3VLConfig(
+        vision=QwenVisionConfig(
+            depth=v.get("depth", 27),
+            hidden_size=v.get("hidden_size", 1152),
+            intermediate_size=v.get("intermediate_size", 4304),
+            num_heads=v.get("num_heads", 16),
+            patch_size=v.get("patch_size", 16),
+            temporal_patch_size=v.get("temporal_patch_size", 2),
+            spatial_merge_size=v.get("spatial_merge_size", 2),
+            out_hidden_size=v.get("out_hidden_size", 3584),
+            num_position_embeddings=v.get("num_position_embeddings", 2304),
+            deepstack_visual_indexes=tuple(
+                v.get("deepstack_visual_indexes", (8, 16, 24))),
+            hidden_act=v.get("hidden_act", "gelu_pytorch_tanh")),
+        text=QwenTextConfig(
+            vocab_size=t.get("vocab_size", 151936),
+            hidden_size=t.get("hidden_size", 4096),
+            num_layers=t.get("num_hidden_layers", 36),
+            num_heads=t.get("num_attention_heads", 32),
+            num_kv_heads=t.get("num_key_value_heads", 8),
+            head_dim=t.get("head_dim", t.get("hidden_size", 4096)
+                           // t.get("num_attention_heads", 32)),
+            intermediate_size=t.get("intermediate_size", 12288),
+            rms_norm_eps=t.get("rms_norm_eps", 1e-6),
+            rope_theta=t.get("rope_theta", 5e6),
+            mrope_section=tuple(rope_scaling.get("mrope_section",
+                                                 (24, 20, 20))),
+            attention_bias=t.get("attention_bias", False),
+            # text_config's flag wins over the top-level one (HF ties
+            # only when the text config says so).
+            tie_word_embeddings=t.get(
+                "tie_word_embeddings", cfg.get("tie_word_embeddings", True))),
+        image_token_id=cfg.get("image_token_id", 151655),
+        video_token_id=cfg.get("video_token_id", 151656),
+        vision_start_token_id=cfg.get("vision_start_token_id", 151652))

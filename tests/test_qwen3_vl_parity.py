@@ -1,0 +1,163 @@
+"""Qwen3-VL flax vs random-init HF torch model: vision tower, full
+multimodal forward, and greedy generation."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from emr2a_tpu.models.qwen3_vl import (
+    Qwen3VLConfig,
+    Qwen3VLGenerator,
+    Qwen3VLModel,
+    QwenTextConfig,
+    QwenVisionConfig,
+    QwenVisionTower,
+    compute_mrope_position_ids,
+    convert_hf_qwen3_vl,
+    qwen3_vl_config_from_hf,
+)
+
+ATOL = 5e-4
+
+
+def tiny_hf_model():
+    from transformers import Qwen3VLConfig as HFConfig
+    from transformers import Qwen3VLForConditionalGeneration
+    cfg = HFConfig(
+        vision_config=dict(
+            depth=3, hidden_size=32, intermediate_size=64, num_heads=2,
+            patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+            out_hidden_size=48, num_position_embeddings=64,
+            deepstack_visual_indexes=[0, 1], in_channels=3),
+        text_config=dict(
+            vocab_size=200, hidden_size=48, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=12,
+            intermediate_size=96, rope_theta=10000.0,
+            rope_scaling={"rope_type": "default", "mrope_section": [2, 2, 2]},
+            max_position_embeddings=512),
+        image_token_id=190, video_token_id=191, vision_start_token_id=192,
+        tie_word_embeddings=True,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    model = Qwen3VLForConditionalGeneration(cfg).eval()
+    return model, cfg
+
+
+@pytest.fixture(scope="module")
+def hf():
+    return tiny_hf_model()
+
+
+def my_config(cfg) -> Qwen3VLConfig:
+    return qwen3_vl_config_from_hf(cfg.to_dict())
+
+
+def make_pixels(rng, h=16, w=16):
+    """Qwen patch layout via the HF image processor."""
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+        Qwen2VLImageProcessor)
+    proc = Qwen2VLImageProcessor(patch_size=4, temporal_patch_size=2,
+                                 merge_size=2, min_pixels=16,
+                                 max_pixels=16384)
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    out = proc(images=[img], return_tensors="np")
+    return out["pixel_values"], out["image_grid_thw"]
+
+
+def test_vision_tower_parity(hf, rng):
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    pixels, grid = make_pixels(rng)
+    with torch.no_grad():
+        expected, expected_deep = model.model.visual(
+            torch.tensor(pixels), grid_thw=torch.tensor(grid))
+    tower = QwenVisionTower(mycfg.vision)
+    got, got_deep, _ = tower.apply(
+        {"params": params["visual"]}, jnp.asarray(pixels),
+        tuple(tuple(int(x) for x in g) for g in grid))
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               atol=ATOL, rtol=1e-3)
+    assert len(got_deep) == len(expected_deep) == 2
+    for g, e in zip(got_deep, expected_deep):
+        np.testing.assert_allclose(np.asarray(g), e.numpy(),
+                                   atol=ATOL, rtol=1e-3)
+
+
+def build_multimodal_ids(cfg, grid, prompt_tail):
+    n_img_tokens = int(np.prod(grid[0]) // 4)  # merge_size² = 4
+    ids = ([192] + [190] * n_img_tokens + list(prompt_tail))
+    return np.array([ids], dtype=np.int64)
+
+
+def test_full_forward_parity_with_image(hf, rng):
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    pixels, grid = make_pixels(rng)
+    input_ids = build_multimodal_ids(cfg, grid, [5, 6, 7, 8])
+    with torch.no_grad():
+        expected = model(
+            input_ids=torch.tensor(input_ids),
+            pixel_values=torch.tensor(pixels),
+            image_grid_thw=torch.tensor(grid)).logits.numpy()
+
+    mymodel = Qwen3VLModel(mycfg)
+    pos = compute_mrope_position_ids(input_ids, [tuple(grid[0])],
+                                     mycfg.image_token_id)
+    logits, _ = mymodel.apply(
+        {"params": params}, jnp.asarray(input_ids), jnp.asarray(pos),
+        pixel_patches=jnp.asarray(pixels),
+        grid_thw=tuple(tuple(int(x) for x in g) for g in grid))
+    np.testing.assert_allclose(np.asarray(logits), expected,
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_text_only_forward_parity(hf):
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+    input_ids = np.array([[3, 5, 8, 13, 21, 34]], dtype=np.int64)
+    with torch.no_grad():
+        expected = model(input_ids=torch.tensor(input_ids)).logits.numpy()
+    mymodel = Qwen3VLModel(mycfg)
+    pos = compute_mrope_position_ids(input_ids, [], mycfg.image_token_id)
+    logits, _ = mymodel.apply({"params": params}, jnp.asarray(input_ids),
+                              jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(logits), expected,
+                               atol=1e-3, rtol=1e-2)
+
+
+def test_greedy_generation_parity(hf, rng):
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    pixels, grid = make_pixels(rng)
+    input_ids = build_multimodal_ids(cfg, grid, [5, 6, 7])
+    n_new = 6
+    with torch.no_grad():
+        out = model.generate(
+            input_ids=torch.tensor(input_ids),
+            pixel_values=torch.tensor(pixels),
+            image_grid_thw=torch.tensor(grid),
+            max_new_tokens=n_new, do_sample=False)
+    expected = out[0, input_ids.shape[1]:].numpy()
+
+    gen = Qwen3VLGenerator(Qwen3VLModel(mycfg), params,
+                           eos_token_id=int(cfg.text_config.eos_token_id or 1))
+    got = gen.generate(input_ids, pixel_patches=pixels,
+                       grid_thw=tuple(tuple(int(x) for x in g) for g in grid),
+                       max_new_tokens=n_new, temperature=0.0)[0]
+    np.testing.assert_array_equal(got, expected)
