@@ -124,12 +124,21 @@ def _fused_topk_kernel(n_valid_ref, q_ref, db_ref, vals_out, idx_out,
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
     scores = jnp.where(col < n_valid, scores, NEG_INF)
 
-    tile_vals, tile_idx = _topk_tile(scores, base, k)
-    cand_vals = jnp.concatenate([run_vals[:], tile_vals], axis=1)
-    cand_idx = jnp.concatenate([run_idx[:], tile_idx], axis=1)
-    new_vals, new_idx = _merge_topk(cand_vals, cand_idx, k)
-    run_vals[:] = new_vals
-    run_idx[:] = new_idx
+    # Prune: the k-pass selection only runs when some row's tile max
+    # beats that row's current k-th best — after the first few tiles
+    # almost every tile skips it, leaving just matmul+max per tile.
+    tile_max = jnp.max(scores, axis=1)            # (q,)
+    kth_best = jnp.min(run_vals[:], axis=1)       # (q,)
+    needs_update = jnp.any(tile_max > kth_best)
+
+    @pl.when(needs_update)
+    def _update():
+        tile_vals, tile_idx = _topk_tile(scores, base, k)
+        cand_vals = jnp.concatenate([run_vals[:], tile_vals], axis=1)
+        cand_idx = jnp.concatenate([run_idx[:], tile_idx], axis=1)
+        new_vals, new_idx = _merge_topk(cand_vals, cand_idx, k)
+        run_vals[:] = new_vals
+        run_idx[:] = new_idx
 
     @pl.when(step == n_steps - 1)
     def _emit():
@@ -150,9 +159,11 @@ def cosine_topk_pallas(queries: jax.Array, database: jax.Array, k: int,
     q, dim = queries.shape
     n, dim2 = database.shape
     assert dim == dim2, (dim, dim2)
-    qp = pad_to_multiple(queries.astype(jnp.float32), 8, 0)
+    # Storage dtype is preserved (bf16 DB halves the HBM traffic that
+    # bounds this op); the score dot always accumulates f32.
+    qp = pad_to_multiple(queries.astype(database.dtype), 8, 0)
     qp = pad_to_multiple(qp, 128, 1)
-    db = pad_to_multiple(database.astype(jnp.float32), 128, 1)
+    db = pad_to_multiple(database, 128, 1)
     db = pad_to_multiple(db, tile, 0)
     n_steps = db.shape[0] // tile
     qpad, dpad = qp.shape
@@ -187,7 +198,7 @@ def cosine_topk_pallas(queries: jax.Array, database: jax.Array, k: int,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * qpad * dpad * db.shape[0],
-            bytes_accessed=db.size * 4 + qp.size * 4,
+            bytes_accessed=(db.size + qp.size) * db.dtype.itemsize,
             transcendentals=0,
         ),
     )(jnp.asarray([n], jnp.int32), qp, db)
