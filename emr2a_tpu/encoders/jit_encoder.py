@@ -49,7 +49,8 @@ class JitImageTextEncoder(BaseEncoder):
                  preprocess: PreprocessSpec = PreprocessSpec(),
                  normalize: bool = True,
                  max_batch: int = 256,
-                 device: str = "tpu"):
+                 device: str = "tpu",
+                 assume_square_sources: bool = False):
         super().__init__(device)
         self.params = params
         self._image_apply = image_apply
@@ -58,6 +59,10 @@ class JitImageTextEncoder(BaseEncoder):
         self.preprocess = preprocess
         self.normalize = normalize
         self.max_batch = max_batch
+        # CT slices are square; setting this lets shortest-edge specs
+        # use the C++ decode pool (square shortest-edge resize == exact
+        # square resize).
+        self.assume_square_sources = assume_square_sources
         self._jit_image = None
         self._jit_text = None
         if image_apply is not None:
@@ -113,6 +118,37 @@ class JitImageTextEncoder(BaseEncoder):
                 for j, i in enumerate(chunk):
                     out[i] = feats[j]
         return out
+
+    def encode_images(self, image_paths) -> np.ndarray:
+        """Path-based encode on the C++ decode pool when available:
+        decode + resize run threaded in native code straight into one
+        device batch (exact-resize specs only; shortest-edge specs fall
+        back to the per-image host path to preserve aspect ratio)."""
+        from emr2a_tpu.data.native_loader import native_available
+
+        spec = self.preprocess
+        if (self._jit_image is None or not native_available()
+                or (spec.shortest_edge and not self.assume_square_sources)):
+            return super().encode_images(image_paths)
+
+        from emr2a_tpu.data.native_loader import decode_batch
+        out_embs: List[np.ndarray] = []
+        for start in range(0, len(image_paths), self.max_batch):
+            chunk = image_paths[start:start + self.max_batch]
+            batch, ok = decode_batch(chunk, spec.resize_size, spec.resize_size)
+            if not ok.any():
+                continue
+            batch = batch[ok]
+            b = _bucket(len(batch), self.max_batch)
+            if b > len(batch):
+                batch = np.concatenate(
+                    [batch, np.zeros((b - len(batch),) + batch.shape[1:],
+                                     batch.dtype)])
+            feats = np.asarray(self._jit_image(self.params, batch))
+            out_embs.append(feats[:int(ok.sum())])
+        if out_embs:
+            return np.concatenate(out_embs, axis=0)
+        return np.array([])
 
     def encode_batch_texts(self, texts: List[str]) -> List[Optional[np.ndarray]]:
         if self._jit_text is None or self._tokenize is None:

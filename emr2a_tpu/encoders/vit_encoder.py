@@ -56,9 +56,17 @@ class ViTEncoder(JitImageTextEncoder):
         def image_apply(p, pixels):
             return self._tower.apply({"params": p}, pixels)
 
+        # timm crop_pct=0.9 geometry scaled to the configured size
+        # (224 -> resize 248, crop 224).
+        from emr2a_tpu.ops.preprocess import PreprocessSpec
+        spec = PreprocessSpec(
+            resize_size=int(config.image_size / 0.9 + 0.5),
+            crop_size=config.image_size,
+            mean=TIMM_VIT_PREPROCESS.mean, std=TIMM_VIT_PREPROCESS.std)
+
         super().__init__(
             params=params, image_apply=image_apply, text_apply=None,
-            tokenize=None, preprocess=TIMM_VIT_PREPROCESS,
+            tokenize=None, preprocess=spec,
             normalize=False,  # reference ViT features are un-normalized
             max_batch=max_batch, device=device)
 

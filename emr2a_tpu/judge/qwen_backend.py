@@ -99,7 +99,10 @@ class QwenVLBackend:
 
     def generate(self, images: Sequence, prompt: str,
                  system: Optional[str] = None, max_new_tokens: int = 1024,
-                 temperature: float = 0.0) -> str:
+                 temperature: float = 0.0, top_p: float = 0.9) -> str:
+        """temperature<=0 is greedy; otherwise nucleus sampling with
+        ``top_p`` (the reference's do_sample/top_p semantics,
+        llms/qwen3_llm.py:103-113)."""
         images = list(images)
         patches_list = []
         grids: List[Tuple[int, int, int]] = []
@@ -122,7 +125,8 @@ class QwenVLBackend:
                          if patches_list else None)
         out_ids = self.generator.generate(
             input_ids, pixel_patches=pixel_patches, grid_thw=tuple(grids),
-            max_new_tokens=max_new_tokens, temperature=temperature)
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p if temperature > 0 else 1.0)
         tokens = out_ids[0].tolist()
         eos = self.generator.eos_token_id
         if eos in tokens:

@@ -596,7 +596,8 @@ class Qwen3VLGenerator:
                        cfg.dtype))
             for _ in range(cfg.num_layers)]
 
-    def _build(self, prompt_len: int, grid_thw, max_new: int, temperature: float):
+    def _build(self, prompt_len: int, grid_thw, max_new: int,
+               temperature: float, top_p: float = 1.0):
         cfg = self.config
         max_len = prompt_len + max_new
 
@@ -615,10 +616,21 @@ class Qwen3VLGenerator:
             next_pos_base = position_ids.max() + 1
 
             def sample(logits_last, key):
-                if temperature > 0:
-                    return jax.random.categorical(
-                        key, logits_last.astype(jnp.float32) / temperature, axis=-1)
-                return jnp.argmax(logits_last, axis=-1)
+                if temperature <= 0:
+                    return jnp.argmax(logits_last, axis=-1)
+                scaled = logits_last.astype(jnp.float32) / temperature
+                if top_p < 1.0:
+                    # nucleus filter: keep the smallest prefix of the
+                    # sorted distribution with cumulative mass >= top_p
+                    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+                    probs = jax.nn.softmax(sorted_logits, axis=-1)
+                    cum = jnp.cumsum(probs, axis=-1)
+                    # number of tokens kept per row (always >= 1)
+                    keep = jnp.sum(cum - probs < top_p, axis=-1)
+                    cutoff = jnp.take_along_axis(
+                        sorted_logits, keep[:, None] - 1, axis=-1)
+                    scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+                return jax.random.categorical(key, scaled, axis=-1)
 
             key0, rng = jax.random.split(rng)
             first_token = sample(logits[:, -1], key0)
@@ -651,7 +663,8 @@ class Qwen3VLGenerator:
                  pixel_patches: Optional[np.ndarray] = None,
                  grid_thw: Tuple[Tuple[int, int, int], ...] = (),
                  max_new_tokens: Optional[int] = None,
-                 temperature: float = 0.0, seed: int = 0) -> np.ndarray:
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 seed: int = 0) -> np.ndarray:
         """input_ids (B, S) without padding; returns (B, new) token ids
         (eos-padded after stop)."""
         max_new = max_new_tokens or self.max_new_tokens
@@ -659,10 +672,10 @@ class Qwen3VLGenerator:
             np.asarray(input_ids), grid_thw, self.config.image_token_id,
             self.config.vision.spatial_merge_size)
         key = (input_ids.shape[1], tuple(grid_thw), max_new,
-               float(temperature))
+               float(temperature), float(top_p))
         if key not in self._jitted:
             self._jitted[key] = self._build(input_ids.shape[1], tuple(grid_thw),
-                                            max_new, temperature)
+                                            max_new, temperature, top_p)
         patches = (jnp.asarray(pixel_patches)
                    if pixel_patches is not None else None)
         tokens = self._jitted[key](

@@ -96,3 +96,28 @@ def test_mixed_size_batch(rng):
             (rng.rand(64, 48, 3) * 255).astype(np.uint8)]
     out = enc.encode_batch_images(imgs)
     assert out[0].shape == out[1].shape == (16,)
+
+
+def test_encode_images_native_fast_path(tmp_path, rng):
+    """With square sources flagged, encode_images routes through the
+    C++ pool (when built) and closely matches the per-image host path
+    (resize filters differ slightly between the two decoders)."""
+    from PIL import Image
+    from emr2a_tpu.models.vit import ViTConfig
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                    num_layers=1, num_heads=2, mlp_dim=64, pooling="mean")
+    enc = ViTEncoder(config=cfg)
+    enc.assume_square_sources = True
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"x{i}.png"
+        Image.fromarray((rng.rand(36, 36, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+    paths.append(tmp_path / "missing.png")
+    fast = enc.encode_images(paths)
+    assert fast.shape == (3, 32)
+    from emr2a_tpu.encoders.base import BaseEncoder
+    slow = BaseEncoder.encode_images(enc, paths)
+    for f, s in zip(fast, slow):
+        cos = np.dot(f, s) / (np.linalg.norm(f) * np.linalg.norm(s))
+        assert cos > 0.999, cos
