@@ -58,8 +58,14 @@ class ContrastiveTrainer:
                  mesh: Optional[Mesh] = None,
                  learning_rate: float = 1e-5,
                  weight_decay: float = 0.01,
-                 temperature: float = 0.07):
+                 temperature: float = 0.07,
+                 remat: bool = False):
         self.mesh = mesh or default_mesh()
+        # jax.checkpoint trades recompute for activation HBM — turn on
+        # for large towers / big batches.
+        if remat:
+            image_apply = jax.checkpoint(image_apply)
+            text_apply = jax.checkpoint(text_apply)
         self.image_apply = image_apply
         self.text_apply = text_apply
         self.temperature = temperature

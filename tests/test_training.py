@@ -87,3 +87,29 @@ def test_tp_weights_actually_sharded(mesh8):
     assert k.sharding.spec == P(None, "model")
     shard_shapes = {s.data.shape for s in k.addressable_shards}
     assert shard_shapes == {(64, 32)}
+
+
+def test_remat_train_step(mesh8, rng):
+    """remat=True produces the same (finite, decreasing) training."""
+    mesh = create_mesh((8, 1))
+    cfg = tiny_config()
+    img_tower = CLIPImageTower(cfg)
+    txt_tower = CLIPTextTower(cfg)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "image": img_tower.init(key, jnp.zeros((1, 32, 32, 3)))["params"],
+        "text": txt_tower.init(key, jnp.zeros((1, 8), jnp.int32))["params"],
+    }
+    trainer = ContrastiveTrainer(
+        image_apply=lambda p, x: img_tower.apply({"params": p["image"]}, x),
+        text_apply=lambda p, ids, mask: txt_tower.apply({"params": p["text"]}, ids),
+        mesh=mesh, learning_rate=1e-3, remat=True)
+    state = trainer.init_state(params)
+    step = trainer.make_train_step()
+    pixels = jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, 62, (8, 16)), jnp.int32).at[:, -1].set(63)
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, pixels, ids, None)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
