@@ -125,6 +125,65 @@ class ShardedEmbeddingDatabase:
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
         return self._get_topk(k)(q, self.db)
 
+    # -- serving: incremental updates + persistence --
+
+    def add_cases(self, embeddings: np.ndarray,
+                  labels: Optional[Sequence[str]] = None,
+                  ids: Optional[Sequence[str]] = None,
+                  normalize: bool = True) -> None:
+        """Append cases to the database (serving-path ingestion).
+
+        Rebuilds the sharded device buffer — O(n) HBM traffic, intended
+        for batch ingestion; per-case streaming belongs in a future
+        capacity-reserved buffer.
+        """
+        new = np.asarray(embeddings, dtype=np.float32)
+        if new.ndim == 1:
+            new = new[None, :]
+        if normalize:
+            new = new / (np.linalg.norm(new, axis=1, keepdims=True) + 1e-12)
+        old = np.asarray(self.db)[:self.n]
+        merged = np.concatenate([old, new.astype(old.dtype)], axis=0)
+        if labels is not None:
+            if self.labels is None:
+                self.labels = []
+            self.labels.extend(labels)
+        if ids is not None:
+            if self.ids is None:
+                self.ids = []
+            self.ids.extend(ids)
+        self.n = merged.shape[0]
+        n_shards = self.mesh.shape[DATA_AXIS]
+        pad = (-self.n) % n_shards
+        if pad:
+            merged = np.concatenate(
+                [merged, np.zeros((pad, self.dim), merged.dtype)], axis=0)
+        self.shard_size = merged.shape[0] // n_shards
+        self.db = jax.device_put(
+            jnp.asarray(merged), NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        self._jitted = {}  # shard_size changed; recompile lazily
+
+    def save(self, path) -> None:
+        """Persist to npz (embeddings pre-normalized as stored)."""
+        payload = {"embeddings": np.asarray(self.db)[:self.n],
+                   "n": np.asarray(self.n)}
+        if self.labels is not None:
+            payload["labels"] = np.asarray(self.labels, dtype=object)
+        if self.ids is not None:
+            payload["ids"] = np.asarray(self.ids, dtype=object)
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def load(cls, path, mesh: Optional[Mesh] = None,
+             dtype: jnp.dtype = jnp.float32,
+             use_pallas: bool = False) -> "ShardedEmbeddingDatabase":
+        data = np.load(path, allow_pickle=True)
+        labels = [str(x) for x in data["labels"]] if "labels" in data else None
+        ids = [str(x) for x in data["ids"]] if "ids" in data else None
+        return cls(data["embeddings"], labels=labels, ids=ids, mesh=mesh,
+                   normalize=False,  # stored pre-normalized
+                   dtype=dtype, use_pallas=use_pallas)
+
     def search(self, queries: np.ndarray, k: int, normalize: bool = True
                ) -> List[List[dict]]:
         """Host-friendly search returning per-query neighbor dicts."""

@@ -55,3 +55,26 @@ def test_single_query_vector(mesh8, rng):
     sdb = ShardedEmbeddingDatabase(db, mesh=mesh8)
     vals, idx = sdb.topk(db[7], k=1)
     assert int(np.asarray(idx)[0, 0]) == 7
+
+
+def test_add_cases_and_persistence(mesh8, rng, tmp_path):
+    db0 = rng.randn(20, 16).astype(np.float32)
+    sdb = ShardedEmbeddingDatabase(db0, labels=[f"L{i%2}" for i in range(20)],
+                                   ids=[f"p{i}" for i in range(20)], mesh=mesh8)
+    extra = rng.randn(7, 16).astype(np.float32)
+    sdb.add_cases(extra, labels=["LX"] * 7, ids=[f"x{i}" for i in range(7)])
+    assert sdb.n == 27
+    # a new case retrieves itself
+    hits = sdb.search(extra[3][None, :], k=1)
+    assert hits[0][0]["patient_id"] == "x3"
+    assert hits[0][0]["score"] == pytest.approx(1.0, abs=1e-4)
+
+    path = tmp_path / "db.npz"
+    sdb.save(path)
+    loaded = ShardedEmbeddingDatabase.load(path, mesh=mesh8)
+    assert loaded.n == 27
+    v1, i1 = sdb.topk(db0[:4], k=3)
+    v2, i2 = loaded.topk(db0[:4], k=3)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    assert loaded.labels[-1] == "LX" and loaded.ids[0] == "p0"
