@@ -30,28 +30,54 @@ from emr2a_tpu.ops.topk import NEG_INF, cosine_topk_pallas
 from emr2a_tpu.parallel.mesh import DATA_AXIS, default_mesh
 
 
-def _local_masked_topk(queries, db_shard, n_valid_local, base, k, use_pallas):
+def quantize_rows_int8(x: np.ndarray):
+    """Symmetric per-row int8 quantization: returns (int8 values,
+    f32 per-row scales)."""
+    x = np.asarray(x, dtype=np.float32)
+    scales = np.abs(x).max(axis=1) / 127.0
+    scales = np.where(scales == 0, 1.0, scales)
+    q = np.clip(np.rint(x / scales[:, None]), -127, 127).astype(np.int8)
+    return q, scales.astype(np.float32)
+
+
+def _local_masked_topk(queries, db_shard, n_valid_local, base, k, use_pallas,
+                       db_scales=None):
     """Per-shard fused scores + top-k with tail-padding masked out."""
-    if use_pallas:
+    if db_scales is not None:
+        # int8 path: quantize queries per-row, int32 MXU accumulation,
+        # rescale with per-row scales.  4x less DB HBM traffic.
+        qscale = jnp.max(jnp.abs(queries), axis=1) / 127.0
+        qscale = jnp.where(qscale == 0, 1.0, qscale)
+        q8 = jnp.clip(jnp.rint(queries / qscale[:, None]),
+                      -127, 127).astype(jnp.int8)
+        scores_i32 = jax.lax.dot_general(
+            q8, db_shard, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        scores = (scores_i32.astype(jnp.float32)
+                  * qscale[:, None] * db_scales[None, :])
+    elif use_pallas:
         vals, idx = cosine_topk_pallas(queries, db_shard, k)
         # cosine_topk_pallas masks its own internal padding at the tile
         # level but not shard-level padding, so re-mask here.
         valid = idx < n_valid_local
         vals = jnp.where(valid, vals, NEG_INF)
         return vals, idx + base
-    scores = jnp.matmul(queries, db_shard.T, preferred_element_type=jnp.float32)
+    else:
+        scores = jnp.matmul(queries, db_shard.T,
+                            preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < n_valid_local, scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx + base
 
 
-def _sharded_topk_fn(queries, db_shard, n_total, k, shard_size, use_pallas):
+def _sharded_topk_fn(queries, db_shard, n_total, db_scales=None, *, k,
+                     shard_size, use_pallas):
     shard_id = jax.lax.axis_index(DATA_AXIS)
     base = shard_id * shard_size
     n_valid_local = jnp.clip(n_total - base, 0, shard_size)
     vals, idx = _local_masked_topk(queries, db_shard, n_valid_local, base, k,
-                                   use_pallas)
+                                   use_pallas, db_scales)
     # Gather every shard's candidates: (n_shards, q, k) -> (q, n_shards*k).
     all_vals = jax.lax.all_gather(vals, DATA_AXIS)
     all_idx = jax.lax.all_gather(idx, DATA_AXIS)
@@ -61,6 +87,16 @@ def _sharded_topk_fn(queries, db_shard, n_total, k, shard_size, use_pallas):
     mvals, mcols = jax.lax.top_k(all_vals, k)
     midx = jnp.take_along_axis(all_idx, mcols, axis=1)
     return mvals, midx
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
+def _update_rows(buf, new_rows, start):
+    return jax.lax.dynamic_update_slice(buf, new_rows, (start, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
+def _update_rows_1d(buf, new_rows, start):
+    return jax.lax.dynamic_update_slice(buf, new_rows, (start,))
 
 
 class ShardedEmbeddingDatabase:
@@ -81,33 +117,60 @@ class ShardedEmbeddingDatabase:
                  mesh: Optional[Mesh] = None,
                  normalize: bool = True,
                  dtype: jnp.dtype = jnp.float32,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False,
+                 capacity: Optional[int] = None):
         self.mesh = mesh or default_mesh()
         self.n, self.dim = embeddings.shape
+        # Serving mode: reserving capacity keeps the device buffer shape
+        # fixed so streaming add_cases() updates rows in place with no
+        # re-upload and no kernel recompiles.
+        self.capacity = capacity
         self.labels = list(labels) if labels is not None else None
         self.ids = list(ids) if ids is not None else None
         self.use_pallas = use_pallas
-        n_shards = self.mesh.shape[DATA_AXIS]
-        pad = (-self.n) % n_shards
         emb = np.asarray(embeddings, dtype=np.float32)
+        if normalize:
+            emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
+        self.dtype = dtype
+        self._host_emb = emb  # normalized f32, unpadded (ingest/persist)
+        self._upload()
+
+    def _upload(self) -> None:
+        """(Re)shard the host matrix onto the mesh in the storage dtype."""
+        n_shards = self.mesh.shape[DATA_AXIS]
+        emb = self._host_emb
+        self.n = emb.shape[0]
+        target = max(self.n, self.capacity or 0)
+        pad = target - self.n + ((-target) % n_shards)
         if pad:
             emb = np.pad(emb, ((0, pad), (0, 0)))
         self.shard_size = emb.shape[0] // n_shards
-        arr = jnp.asarray(emb, dtype=dtype)
-        if normalize:
-            arr = l2_normalize_rows(arr).astype(dtype)
-        self.db = jax.device_put(
-            arr, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        row_sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        if self.dtype == jnp.int8:
+            # Quantized mode: per-row symmetric int8 + f32 scales —
+            # 4x less HBM traffic per scan, int32 MXU accumulation.
+            # Approximate ranking (|cos error| <~ 1/64); see tests.
+            q8, scales = quantize_rows_int8(emb)
+            self.db = jax.device_put(jnp.asarray(q8), row_sharding)
+            self.db_scales = jax.device_put(
+                jnp.asarray(scales), NamedSharding(self.mesh, P(DATA_AXIS)))
+        else:
+            self.db = jax.device_put(jnp.asarray(emb, dtype=self.dtype),
+                                     row_sharding)
+            self.db_scales = None
         self._jitted = {}
 
     def _get_topk(self, k: int):
         if k not in self._jitted:
+            quantized = self.db_scales is not None
+            in_specs = (P(), P(DATA_AXIS, None), P()) + (
+                (P(DATA_AXIS),) if quantized else ())
             fn = jax.shard_map(
                 functools.partial(
-                    _sharded_topk_fn, n_total=self.n, k=k,
+                    _sharded_topk_fn, k=k,
                     shard_size=self.shard_size, use_pallas=self.use_pallas),
                 mesh=self.mesh,
-                in_specs=(P(), P(DATA_AXIS, None)),
+                in_specs=in_specs,
                 out_specs=(P(), P()),
                 check_vma=False,
             )
@@ -117,13 +180,17 @@ class ShardedEmbeddingDatabase:
     def topk(self, queries: np.ndarray, k: int,
              normalize: bool = True) -> Tuple[jax.Array, jax.Array]:
         """(q, dim) queries -> (values (q, k), global indices (q, k))."""
-        q = jnp.asarray(queries, dtype=self.db.dtype)
+        qdtype = jnp.float32 if self.db_scales is not None else self.db.dtype
+        q = jnp.asarray(queries, dtype=qdtype)
         if q.ndim == 1:
             q = q[None, :]
         if normalize:
-            q = l2_normalize_rows(q).astype(self.db.dtype)
+            q = l2_normalize_rows(q).astype(qdtype)
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
-        return self._get_topk(k)(q, self.db)
+        n = jnp.int32(self.n)
+        if self.db_scales is not None:
+            return self._get_topk(k)(q, self.db, n, self.db_scales)
+        return self._get_topk(k)(q, self.db, n)
 
     # -- serving: incremental updates + persistence --
 
@@ -142,8 +209,6 @@ class ShardedEmbeddingDatabase:
             new = new[None, :]
         if normalize:
             new = new / (np.linalg.norm(new, axis=1, keepdims=True) + 1e-12)
-        old = np.asarray(self.db)[:self.n]
-        merged = np.concatenate([old, new.astype(old.dtype)], axis=0)
         if labels is not None:
             if self.labels is None:
                 self.labels = []
@@ -152,20 +217,27 @@ class ShardedEmbeddingDatabase:
             if self.ids is None:
                 self.ids = []
             self.ids.extend(ids)
-        self.n = merged.shape[0]
-        n_shards = self.mesh.shape[DATA_AXIS]
-        pad = (-self.n) % n_shards
-        if pad:
-            merged = np.concatenate(
-                [merged, np.zeros((pad, self.dim), merged.dtype)], axis=0)
-        self.shard_size = merged.shape[0] // n_shards
-        self.db = jax.device_put(
-            jnp.asarray(merged), NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        self._jitted = {}  # shard_size changed; recompile lazily
+        start = self._host_emb.shape[0]
+        self._host_emb = np.concatenate([self._host_emb, new], axis=0)
+        total_padded = self.shard_size * self.mesh.shape[DATA_AXIS]
+        if start + new.shape[0] <= total_padded:
+            # fits in reserved capacity: in-place sharded row update,
+            # no re-upload, no recompiles
+            if self.db_scales is not None:
+                q8, scales = quantize_rows_int8(new)
+                self.db = _update_rows(self.db, jnp.asarray(q8), start)
+                self.db_scales = _update_rows_1d(
+                    self.db_scales, jnp.asarray(scales), start)
+            else:
+                self.db = _update_rows(
+                    self.db, jnp.asarray(new, dtype=self.db.dtype), start)
+            self.n = start + new.shape[0]
+        else:
+            self._upload()  # shape changed; kernels recompile lazily
 
     def save(self, path) -> None:
         """Persist to npz (embeddings pre-normalized as stored)."""
-        payload = {"embeddings": np.asarray(self.db)[:self.n],
+        payload = {"embeddings": self._host_emb,
                    "n": np.asarray(self.n)}
         if self.labels is not None:
             payload["labels"] = np.asarray(self.labels, dtype=object)

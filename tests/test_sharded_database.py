@@ -78,3 +78,54 @@ def test_add_cases_and_persistence(mesh8, rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
     assert loaded.labels[-1] == "LX" and loaded.ids[0] == "p0"
+
+
+def test_int8_quantized_mode(mesh8, rng):
+    """int8 storage: top-1 self-retrieval exact; top-5 overlap with the
+    f32 ranking high (approximate mode contract)."""
+    import jax.numpy as jnp
+    n, dim, q, k = 400, 64, 16, 5
+    db = rng.randn(n, dim).astype(np.float32)
+    queries = db[:q] + 0.05 * rng.randn(q, dim).astype(np.float32)
+    f32 = ShardedEmbeddingDatabase(db, mesh=mesh8)
+    i8 = ShardedEmbeddingDatabase(db, mesh=mesh8, dtype=jnp.int8)
+    v_f, i_f = f32.topk(queries, k)
+    v_q, i_q = i8.topk(queries, k)
+    i_f, i_q = np.asarray(i_f), np.asarray(i_q)
+    # top-1 must match (queries are near-copies of DB rows)
+    np.testing.assert_array_equal(i_f[:, 0], i_q[:, 0])
+    # top-5 sets strongly overlap
+    overlap = np.mean([len(set(a) & set(b)) / k for a, b in zip(i_f, i_q)])
+    assert overlap >= 0.9, overlap
+    # scores close to the true cosine
+    np.testing.assert_allclose(np.asarray(v_q), np.asarray(v_f),
+                               atol=0.03, rtol=0.05)
+    # ingestion works in quantized mode too
+    extra = rng.randn(3, dim).astype(np.float32)
+    i8.add_cases(extra)
+    v2, i2 = i8.topk(extra[:1], k=1)
+    assert int(np.asarray(i2)[0, 0]) == n
+
+
+def test_capacity_streaming_ingestion(mesh8, rng):
+    """With reserved capacity, add_cases updates device rows in place
+    (no shape change) and queries immediately see new cases."""
+    db0 = rng.randn(16, 8).astype(np.float32)
+    sdb = ShardedEmbeddingDatabase(db0, mesh=mesh8, capacity=64,
+                                   ids=[f"p{i}" for i in range(16)])
+    buf_shape = sdb.db.shape
+    compiled_before = dict(sdb._jitted)
+    for batch in range(3):
+        extra = rng.randn(5, 8).astype(np.float32)
+        sdb.add_cases(extra, ids=[f"b{batch}_{i}" for i in range(5)])
+        hits = sdb.search(extra[2][None, :], k=1)
+        assert hits[0][0]["patient_id"] == f"b{batch}_2"
+    assert sdb.db.shape == buf_shape        # no re-allocation
+    assert sdb.n == 31
+    # old cases still retrievable
+    assert sdb.search(db0[1][None, :], k=1)[0][0]["patient_id"] == "p1"
+    # overflow past capacity falls back to re-upload and still works
+    sdb.add_cases(rng.randn(50, 8).astype(np.float32),
+                  ids=[f"z{i}" for i in range(50)])
+    assert sdb.n == 81
+    assert sdb.db.shape[0] >= 81
