@@ -32,7 +32,8 @@ def main() -> None:
     from emr2a_tpu.ops.preprocess import BIOMEDCLIP_PREPROCESS, preprocess_images
 
     base = default_biomedclip_config()
-    vcfg = ViTConfig(**{**base.vision.__dict__, "dtype": jnp.bfloat16})
+    vcfg = ViTConfig(**{**base.vision.__dict__, "dtype": jnp.bfloat16,
+                        "fused_mlp": True})
     config = type(base)(vision=vcfg, text=base.text,
                         projection_dim=base.projection_dim,
                         text_proj=base.text_proj)

@@ -48,6 +48,7 @@ class ViTConfig:
     patch_bias: bool = True           # CLIP vision: False
     pooling: str = "mean"             # "cls_ln" (CLIP) | "mean" | "cls" | "none"
     dtype: jnp.dtype = jnp.float32
+    fused_mlp: bool = False           # Pallas LN+MLP+residual kernel (TPU)
 
     @property
     def num_patches(self) -> int:
@@ -111,7 +112,8 @@ class VisionTransformer(nn.Module):
             x = TransformerBlock(
                 num_heads=cfg.num_heads, mlp_dim=cfg.mlp_dim,
                 activation=cfg.activation, ln_eps=cfg.ln_eps,
-                dtype=cfg.dtype, name=f"block_{i}")(x)
+                dtype=cfg.dtype, fused_mlp=cfg.fused_mlp,
+                name=f"block_{i}")(x)
 
         ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="final_ln")
 
