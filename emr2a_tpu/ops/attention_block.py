@@ -1,0 +1,136 @@
+"""Fused LN → QKV → attention → out-proj → residual Pallas kernel.
+
+Companion to ops/mlp.fused_ln_mlp: together they cover a full pre-LN
+transformer block with zero inter-op HBM round trips.  Per grid step
+the kernel owns `block_b` batch items' full token sequences (encoder
+towers attend within an image, so the batch axis tiles cleanly):
+
+    h  = LN1(x)                       f32 statistics
+    q/k/v = h @ Wq/Wk/Wv + b          MXU, f32 accum
+    per head-group: softmax(q k^T / sqrt(d)) v   (S, S) tile in VMEM
+    o  = x + (attn @ Wo + bo)
+
+All four weight matrices are DMA'd HBM→VMEM scratch once on the first
+grid step.  Padded key positions are masked to -inf before softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-1e30)
+
+
+def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
+                       bv_ref, bo_ref, s_ref, b_ref, o_ref,
+                       wq_ref, wk_ref, wv_ref, wo_ref, logits_ref, sems, *,
+                       eps: float, num_heads: int, head_dim: int,
+                       valid_len: int, head_group: int, block_b: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        dmas = [pltpu.make_async_copy(src, dst, sems.at[i]) for i, (src, dst)
+                in enumerate([(wq_hbm, wq_ref), (wk_hbm, wk_ref),
+                              (wv_hbm, wv_ref), (wo_hbm, wo_ref)])]
+        for dma in dmas:
+            dma.start()
+        for dma in dmas:
+            dma.wait()
+
+    sp = x_ref.shape[1]
+    scale = head_dim ** -0.5
+    n_groups = num_heads // head_group
+    col = jax.lax.broadcasted_iota(jnp.int32, (head_group * sp, sp), 1)
+
+    for bi in range(block_b):
+        x = x_ref[bi, :, :]
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + eps)
+             * s_ref[0, :].astype(jnp.float32)
+             + b_ref[0, :].astype(jnp.float32)).astype(x.dtype)
+
+        def proj(w_ref, bias_ref):
+            y = jax.lax.dot_general(
+                h, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return (y + bias_ref[0, :].astype(jnp.float32)).astype(x.dtype)
+
+        q = proj(wq_ref, bq_ref)
+        k = proj(wk_ref, bk_ref)
+        v = proj(wv_ref, bv_ref)
+
+        attn_cols = []
+        for g in range(n_groups):
+            for j in range(head_group):
+                hd = (g * head_group + j) * head_dim
+                logits_ref[pl.ds(j * sp, sp), :] = jax.lax.dot_general(
+                    q[:, hd:hd + head_dim], k[:, hd:hd + head_dim],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            logits = logits_ref[:, :]
+            if valid_len < sp:
+                logits = jnp.where(col < valid_len, logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            for j in range(head_group):
+                hd = (g * head_group + j) * head_dim
+                attn_cols.append(jax.lax.dot_general(
+                    probs[j * sp:(j + 1) * sp, :], v[:, hd:hd + head_dim],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(x.dtype))
+        attn = jnp.concatenate(attn_cols, axis=1)
+
+        y = jax.lax.dot_general(
+            attn, wo_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + bo_ref[0, :].astype(jnp.float32)
+        o_ref[bi, :, :] = x + y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "eps", "head_group", "block_b", "interpret"))
+def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
+                       wv, bv, wo, bo, num_heads: int, eps: float = 1e-6,
+                       head_group: int = 6, block_b: int = 1,
+                       interpret: bool = False) -> jax.Array:
+    """x (B, S, D) -> x + out_proj(attention(LN(x))).  B must divide by
+    block_b; S pads to a lane multiple with key masking."""
+    B, S, d = x.shape
+    head_dim = d // num_heads
+    sp = -(-S // 128) * 128
+    xp = jnp.pad(x, [(0, 0), (0, sp - S), (0, 0)])
+    row = lambda v: v.reshape(1, -1)
+
+    xspec = pl.BlockSpec((block_b, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, eps=eps, num_heads=num_heads,
+            head_dim=head_dim, valid_len=S, head_group=head_group,
+            block_b=block_b),
+        grid=(B // block_b,),
+        in_specs=[xspec, hbm, hbm, hbm, hbm, vec, vec, vec, vec, vec, vec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, sp, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d, d), wq.dtype), pltpu.VMEM((d, d), wk.dtype),
+            pltpu.VMEM((d, d), wv.dtype), pltpu.VMEM((d, d), wo.dtype),
+            pltpu.VMEM((head_group * sp, sp), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=B * (8 * sp * d * d + 4 * sp * sp * d),
+            bytes_accessed=(2 * B * sp * d + 4 * d * d) * x.dtype.itemsize,
+            transcendentals=B * num_heads * sp * sp,
+        ),
+    )(xp, wq, wk, wv, wo, row(bq), row(bk), row(bv), row(bo),
+      row(ln_scale), row(ln_bias))
+    return out[:, :S]
