@@ -24,6 +24,7 @@ import numpy as np
 from emr2a_tpu.data.images import group_by_shape, resize_to
 from emr2a_tpu.encoders.base import BaseEncoder
 from emr2a_tpu.ops.preprocess import PreprocessSpec, preprocess_images
+from emr2a_tpu.ops.similarity import l2_normalize_rows
 
 
 def _bucket(n: int, max_batch: int) -> int:
@@ -76,13 +77,13 @@ class JitImageTextEncoder(BaseEncoder):
         pixels = preprocess_images(images_u8, self.preprocess)
         feats = self._image_apply(params, pixels)
         if self.normalize:
-            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+            feats = l2_normalize_rows(feats)
         return feats
 
     def _text_forward(self, params, input_ids, attention_mask):
         feats = self._text_apply(params, input_ids, attention_mask)
         if self.normalize:
-            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+            feats = l2_normalize_rows(feats)
         return feats
 
     # -- host batching --

@@ -69,6 +69,12 @@ class Qwen3VLEncoder(BaseEncoder):
                     tokenizer = AutoTokenizer.from_pretrained(str(mp))
                 except Exception:
                     tokenizer = None
+            if image_processor is None:
+                try:
+                    from transformers import AutoImageProcessor
+                    image_processor = AutoImageProcessor.from_pretrained(str(mp))
+                except Exception:
+                    image_processor = None
         if config is None or params is None:
             raise ValueError("Qwen3VLEncoder needs model_path or (config, params)")
         self.config = config

@@ -48,6 +48,15 @@ class QwenVLBackend:
         if tokenizer is None and model_path is not None:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(str(model_path))
+        if image_processor is None and model_path is not None:
+            # the checkpoint's preprocessor_config.json is authoritative
+            # (normalization statistics differ across releases)
+            try:
+                from transformers import AutoImageProcessor
+                image_processor = AutoImageProcessor.from_pretrained(
+                    str(model_path))
+            except Exception:
+                image_processor = None
         if image_processor is None:
             from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
             image_processor = make_image_processor(config.vision)
@@ -126,7 +135,8 @@ class QwenVLBackend:
         out_ids = self.generator.generate(
             input_ids, pixel_patches=pixel_patches, grid_thw=tuple(grids),
             max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p if temperature > 0 else 1.0)
+            top_p=top_p if temperature > 0 else 1.0,
+            prompt_bucket=self.prompt_bucket)
         tokens = out_ids[0].tolist()
         eos = self.generator.eos_token_id
         if eos in tokens:

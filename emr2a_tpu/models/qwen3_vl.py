@@ -213,6 +213,24 @@ def interpolated_pos_embed_indices(grid_thw: Sequence[Tuple[int, int, int]],
     return idx, wts
 
 
+def vision_segment_mask(grid_thw: Sequence[Tuple[int, int, int]]
+                        ) -> Optional[np.ndarray]:
+    """Additive block-diagonal attention mask (seq, seq): vision
+    attention is confined to each frame (HF builds the same blocks via
+    cu_seqlens).  Returns None when there is a single segment."""
+    seg_ids = []
+    sid = 0
+    for t, h, w in grid_thw:
+        for _ in range(t):
+            seg_ids.extend([sid] * (h * w))
+            sid += 1
+    if sid <= 1:
+        return None
+    seg = np.asarray(seg_ids)
+    return np.where(seg[:, None] == seg[None, :], 0.0,
+                    -np.inf).astype(np.float32)
+
+
 def permute_to_merge_order(flat: jnp.ndarray,
                            grid_thw: Sequence[Tuple[int, int, int]],
                            merge_size: int) -> jnp.ndarray:
@@ -237,7 +255,7 @@ class QwenVisionBlock(nn.Module):
     config: QwenVisionConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin):
+    def __call__(self, x, cos, sin, attn_mask=None):
         cfg = self.config
         S, d = x.shape
         h = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm1")(x)
@@ -251,6 +269,8 @@ class QwenVisionBlock(nn.Module):
         q, k = apply_rope(q, k, cos[:, None, :], sin[:, None, :])
         logits = jnp.einsum("qhd,khd->hqk", q, k,
                             preferred_element_type=jnp.float32) * hd ** -0.5
+        if attn_mask is not None:
+            logits = logits + attn_mask[None, :, :]
         probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(S, d)
         x = x + nn.Dense(d, dtype=cfg.dtype, name="o_proj")(attn)
@@ -308,11 +328,15 @@ class QwenVisionTower(nn.Module):
                                              cfg.spatial_merge_size)
         cos = jnp.asarray(cos_np)
         sin = jnp.asarray(sin_np)
+        # Per-frame block-diagonal attention (HF cu_seqlens semantics);
+        # None for the common single-image call.
+        mask_np = vision_segment_mask(grid_thw)
+        attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
 
         deepstack = []
         taps = []
         for i in range(cfg.depth):
-            x = QwenVisionBlock(cfg, name=f"block_{i}")(x, cos, sin)
+            x = QwenVisionBlock(cfg, name=f"block_{i}")(x, cos, sin, attn_mask)
             if i in cfg.deepstack_visual_indexes:
                 j = cfg.deepstack_visual_indexes.index(i)
                 deepstack.append(QwenPatchMerger(
@@ -476,11 +500,14 @@ class QwenTextModel(nn.Module):
         x = self.final_ln(x)
         if return_hidden:
             return x, new_cache
-        if cfg.tie_word_embeddings:
-            logits = x @ self.embed_tokens.embedding.T.astype(x.dtype)
-        else:
-            logits = self.lm_head(x)
-        return logits, new_cache
+        return self.project(x), new_cache
+
+    def project(self, hidden):
+        """Vocabulary projection; exposed so callers can project only
+        the positions they need (e.g. the last prompt token)."""
+        if self.config.tie_word_embeddings:
+            return hidden @ self.embed_tokens.embedding.T.astype(hidden.dtype)
+        return self.lm_head(hidden)
 
 
 # ---------------------------------------------------------------------------
@@ -596,24 +623,35 @@ class Qwen3VLGenerator:
                        cfg.dtype))
             for _ in range(cfg.num_layers)]
 
-    def _build(self, prompt_len: int, grid_thw, max_new: int,
+    def _build(self, padded_len: int, grid_thw, max_new: int,
                temperature: float, top_p: float = 1.0):
-        cfg = self.config
-        max_len = prompt_len + max_new
+        max_len = padded_len + max_new
 
-        def run(params, input_ids, position_ids, pixel_patches, rng):
+        def run(params, input_ids, position_ids, true_len, pixel_patches, rng):
             B = input_ids.shape[0]
             cache = self._empty_cache(B, max_len)
-            # Prefill: causal over the prompt, keys padded to max_len.
-            q_idx = jnp.arange(prompt_len)[:, None]
+            # Prefill over the padded prompt: causal AND key < true_len
+            # (right padding never receives attention mass).
+            q_idx = jnp.arange(padded_len)[:, None]
             k_idx = jnp.arange(max_len)[None, :]
-            mask = jnp.where((k_idx <= q_idx), 0.0, -jnp.inf)[None]
-            mask = jnp.broadcast_to(mask, (B, prompt_len, max_len)).astype(jnp.float32)
-            logits, cache = self.model.apply(
+            mask = jnp.where((k_idx <= q_idx) & (k_idx < true_len),
+                             0.0, -jnp.inf)[None]
+            mask = jnp.broadcast_to(
+                mask, (B, padded_len, max_len)).astype(jnp.float32)
+            hidden, cache = self.model.apply(
                 {"params": params}, input_ids, position_ids,
                 pixel_patches=pixel_patches, grid_thw=grid_thw,
-                cache=cache, cache_pos=0, attn_mask=mask)
-            next_pos_base = position_ids.max() + 1
+                cache=cache, cache_pos=0, attn_mask=mask,
+                return_hidden=True)
+            # Project ONLY the last true prompt position to the vocab
+            # (full-prompt logits would materialize (B, S, vocab)).
+            last_hidden = jax.lax.dynamic_slice_in_dim(
+                hidden, true_len - 1, 1, axis=1)
+            last_logits = self.model.apply(
+                {"params": params}, last_hidden[:, 0],
+                method=lambda m, h: m.language_model.project(h))
+            # per-row next position (rows may have different content)
+            next_pos_base = position_ids.max(axis=(0, 2)) + 1  # (B,)
 
             def sample(logits_last, key):
                 if temperature <= 0:
@@ -633,19 +671,23 @@ class Qwen3VLGenerator:
                 return jax.random.categorical(key, scaled, axis=-1)
 
             key0, rng = jax.random.split(rng)
-            first_token = sample(logits[:, -1], key0)
+            first_token = sample(last_logits, key0)
 
             def step(carry, _):
                 cache, token, step_i, key, done = carry
                 key, sub = jax.random.split(key)
-                pos_scalar = next_pos_base + step_i
-                pos = jnp.broadcast_to(pos_scalar, (3, B, 1))
+                pos = jnp.broadcast_to(
+                    (next_pos_base + step_i)[None, :, None], (3, B, 1))
                 k_idx = jnp.arange(max_len)[None, None, :]
-                mask = jnp.where(k_idx <= prompt_len + step_i, 0.0, -jnp.inf)
+                # attend to the true prompt + generated tokens so far
+                mask = jnp.where(
+                    (k_idx < true_len)
+                    | ((k_idx >= padded_len) & (k_idx <= padded_len + step_i)),
+                    0.0, -jnp.inf)
                 mask = jnp.broadcast_to(mask, (B, 1, max_len)).astype(jnp.float32)
                 logits, cache = self.model.apply(
                     {"params": params}, token[:, None], pos,
-                    cache=cache, cache_pos=prompt_len + step_i,
+                    cache=cache, cache_pos=padded_len + step_i,
                     attn_mask=mask)
                 nxt = sample(logits[:, -1], sub)
                 done = done | (token == self.eos_token_id)
@@ -664,23 +706,34 @@ class Qwen3VLGenerator:
                  grid_thw: Tuple[Tuple[int, int, int], ...] = (),
                  max_new_tokens: Optional[int] = None,
                  temperature: float = 0.0, top_p: float = 1.0,
-                 seed: int = 0) -> np.ndarray:
+                 seed: int = 0, prompt_bucket: int = 128) -> np.ndarray:
         """input_ids (B, S) without padding; returns (B, new) token ids
-        (eos-padded after stop)."""
+        (eos-padded after stop).  Prompts are right-padded to the next
+        ``prompt_bucket`` multiple so compilation cost is per bucket,
+        not per exact length.  With images and B > 1 all rows must
+        share the same image layout (the embedding splice indexes one
+        concatenated image table)."""
         max_new = max_new_tokens or self.max_new_tokens
+        ids = np.asarray(input_ids)
+        true_len = ids.shape[1]
         position_ids = compute_mrope_position_ids(
-            np.asarray(input_ids), grid_thw, self.config.image_token_id,
+            ids, grid_thw, self.config.image_token_id,
             self.config.vision.spatial_merge_size)
-        key = (input_ids.shape[1], tuple(grid_thw), max_new,
+        padded_len = -(-true_len // prompt_bucket) * prompt_bucket
+        if padded_len > true_len:
+            pad = padded_len - true_len
+            ids = np.pad(ids, [(0, 0), (0, pad)])
+            position_ids = np.pad(position_ids, [(0, 0), (0, 0), (0, pad)])
+        key = (padded_len, tuple(grid_thw), max_new,
                float(temperature), float(top_p))
         if key not in self._jitted:
-            self._jitted[key] = self._build(input_ids.shape[1], tuple(grid_thw),
+            self._jitted[key] = self._build(padded_len, tuple(grid_thw),
                                             max_new, temperature, top_p)
         patches = (jnp.asarray(pixel_patches)
                    if pixel_patches is not None else None)
         tokens = self._jitted[key](
-            self.params, jnp.asarray(input_ids), jnp.asarray(position_ids),
-            patches, jax.random.PRNGKey(seed))
+            self.params, jnp.asarray(ids), jnp.asarray(position_ids),
+            jnp.int32(true_len), patches, jax.random.PRNGKey(seed))
         return np.asarray(tokens)
 
 

@@ -76,8 +76,11 @@ def _sharded_topk_fn(queries, db_shard, n_total, db_scales=None, *, k,
     shard_id = jax.lax.axis_index(DATA_AXIS)
     base = shard_id * shard_size
     n_valid_local = jnp.clip(n_total - base, 0, shard_size)
-    vals, idx = _local_masked_topk(queries, db_shard, n_valid_local, base, k,
-                                   use_pallas, db_scales)
+    # per-shard candidates: k may exceed the slab when n barely exceeds
+    # k; n_shards * min(k, shard_size) >= k always holds for k <= n.
+    k_local = min(k, shard_size)
+    vals, idx = _local_masked_topk(queries, db_shard, n_valid_local, base,
+                                   k_local, use_pallas, db_scales)
     # Gather every shard's candidates: (n_shards, q, k) -> (q, n_shards*k).
     all_vals = jax.lax.all_gather(vals, DATA_AXIS)
     all_idx = jax.lax.all_gather(idx, DATA_AXIS)
@@ -89,12 +92,14 @@ def _sharded_topk_fn(queries, db_shard, n_total, db_scales=None, *, k,
     return mvals, midx
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _update_rows(buf, new_rows, start):
+    # start is traced so streaming ingestion compiles once per new-batch
+    # shape, not once per offset
     return jax.lax.dynamic_update_slice(buf, new_rows, (start, 0))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _update_rows_1d(buf, new_rows, start):
     return jax.lax.dynamic_update_slice(buf, new_rows, (start,))
 
@@ -179,7 +184,10 @@ class ShardedEmbeddingDatabase:
 
     def topk(self, queries: np.ndarray, k: int,
              normalize: bool = True) -> Tuple[jax.Array, jax.Array]:
-        """(q, dim) queries -> (values (q, k), global indices (q, k))."""
+        """(q, dim) queries -> (values (q, k), global indices (q, k)).
+        k is clamped to the number of cases (filler candidates from
+        shard padding never surface)."""
+        k = min(k, self.n)
         qdtype = jnp.float32 if self.db_scales is not None else self.db.dtype
         q = jnp.asarray(queries, dtype=qdtype)
         if q.ndim == 1:
@@ -200,22 +208,32 @@ class ShardedEmbeddingDatabase:
                   normalize: bool = True) -> None:
         """Append cases to the database (serving-path ingestion).
 
-        Rebuilds the sharded device buffer — O(n) HBM traffic, intended
-        for batch ingestion; per-case streaming belongs in a future
-        capacity-reserved buffer.
+        With reserved ``capacity`` the new rows are written into the
+        sharded device buffer in place (no re-upload, no recompiles);
+        past capacity the buffer is rebuilt.  Metadata must stay
+        index-aligned: provide labels/ids exactly when the database was
+        built with them.
         """
         new = np.asarray(embeddings, dtype=np.float32)
         if new.ndim == 1:
             new = new[None, :]
         if normalize:
             new = new / (np.linalg.norm(new, axis=1, keepdims=True) + 1e-12)
+        if (self.labels is None) != (labels is None):
+            raise ValueError(
+                "add_cases labels must match the database: provide labels "
+                "iff it was built with labels (metadata stays row-aligned)")
+        if (self.ids is None) != (ids is None):
+            raise ValueError(
+                "add_cases ids must match the database: provide ids iff it "
+                "was built with ids")
+        if labels is not None and len(labels) != new.shape[0]:
+            raise ValueError("len(labels) must equal the number of new rows")
+        if ids is not None and len(ids) != new.shape[0]:
+            raise ValueError("len(ids) must equal the number of new rows")
         if labels is not None:
-            if self.labels is None:
-                self.labels = []
             self.labels.extend(labels)
         if ids is not None:
-            if self.ids is None:
-                self.ids = []
             self.ids.extend(ids)
         start = self._host_emb.shape[0]
         self._host_emb = np.concatenate([self._host_emb, new], axis=0)
@@ -225,12 +243,14 @@ class ShardedEmbeddingDatabase:
             # no re-upload, no recompiles
             if self.db_scales is not None:
                 q8, scales = quantize_rows_int8(new)
-                self.db = _update_rows(self.db, jnp.asarray(q8), start)
+                self.db = _update_rows(self.db, jnp.asarray(q8),
+                                       jnp.int32(start))
                 self.db_scales = _update_rows_1d(
-                    self.db_scales, jnp.asarray(scales), start)
+                    self.db_scales, jnp.asarray(scales), jnp.int32(start))
             else:
                 self.db = _update_rows(
-                    self.db, jnp.asarray(new, dtype=self.db.dtype), start)
+                    self.db, jnp.asarray(new, dtype=self.db.dtype),
+                    jnp.int32(start))
             self.n = start + new.shape[0]
         else:
             self._upload()  # shape changed; kernels recompile lazily
@@ -259,6 +279,7 @@ class ShardedEmbeddingDatabase:
     def search(self, queries: np.ndarray, k: int, normalize: bool = True
                ) -> List[List[dict]]:
         """Host-friendly search returning per-query neighbor dicts."""
+        k = min(k, self.n)
         vals, idx = self.topk(queries, k, normalize=normalize)
         vals = np.asarray(vals)
         idx = np.asarray(idx)

@@ -161,3 +161,48 @@ def test_greedy_generation_parity(hf, rng):
                        grid_thw=tuple(tuple(int(x) for x in g) for g in grid),
                        max_new_tokens=n_new, temperature=0.0)[0]
     np.testing.assert_array_equal(got, expected)
+
+
+def test_vision_tower_multi_image_parity(hf, rng):
+    """Two images concatenated in one sequence: per-frame block-diagonal
+    attention must match HF's cu_seqlens semantics."""
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    p1, g1 = make_pixels(rng, 16, 16)
+    p2, g2 = make_pixels(rng, 24, 16)
+    pixels = np.concatenate([p1, p2], axis=0)
+    grid = np.concatenate([g1, g2], axis=0)
+    with torch.no_grad():
+        expected, expected_deep = model.model.visual(
+            torch.tensor(pixels), grid_thw=torch.tensor(grid))
+    tower = QwenVisionTower(mycfg.vision)
+    got, got_deep, _ = tower.apply(
+        {"params": params["visual"]}, jnp.asarray(pixels),
+        tuple(tuple(int(x) for x in g) for g in grid))
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               atol=ATOL, rtol=1e-3)
+    for g, e in zip(got_deep, expected_deep):
+        np.testing.assert_allclose(np.asarray(g), e.numpy(),
+                                   atol=ATOL, rtol=1e-3)
+
+
+def test_generation_bucketing_invariant(hf, rng):
+    """Different prompt_bucket values must produce identical tokens
+    (padding is fully masked)."""
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+    input_ids = np.array([[3, 5, 8, 13, 21, 34, 55, 89, 144, 6, 7]],
+                         dtype=np.int64)
+    gen = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=1)
+    a = gen.generate(input_ids, max_new_tokens=5, prompt_bucket=16)
+    b = gen.generate(input_ids, max_new_tokens=5, prompt_bucket=64)
+    np.testing.assert_array_equal(a, b)
+    with torch.no_grad():
+        hf_out = model.generate(input_ids=torch.tensor(input_ids),
+                                max_new_tokens=5, do_sample=False)
+    np.testing.assert_array_equal(a[0], hf_out[0, input_ids.shape[1]:].numpy())

@@ -129,3 +129,25 @@ def test_capacity_streaming_ingestion(mesh8, rng):
                   ids=[f"z{i}" for i in range(50)])
     assert sdb.n == 81
     assert sdb.db.shape[0] >= 81
+
+
+def test_metadata_alignment_enforced(mesh8, rng):
+    db = ShardedEmbeddingDatabase(rng.randn(8, 4).astype(np.float32),
+                                  mesh=mesh8)  # no labels/ids
+    with pytest.raises(ValueError, match="labels"):
+        db.add_cases(rng.randn(2, 4).astype(np.float32), labels=["x", "y"])
+    db2 = ShardedEmbeddingDatabase(rng.randn(8, 4).astype(np.float32),
+                                   labels=["a"] * 8, mesh=mesh8)
+    with pytest.raises(ValueError, match="labels"):
+        db2.add_cases(rng.randn(2, 4).astype(np.float32))
+    with pytest.raises(ValueError, match="len"):
+        db2.add_cases(rng.randn(2, 4).astype(np.float32), labels=["only-one"])
+
+
+def test_k_clamped_to_n(mesh8, rng):
+    db0 = rng.randn(10, 8).astype(np.float32)
+    db = ShardedEmbeddingDatabase(db0, labels=[f"L{i}" for i in range(10)],
+                                  mesh=mesh8)
+    hits = db.search(db0[:1], k=25)
+    assert len(hits[0]) == 10  # clamped; no filler candidates
+    assert all(h["score"] > -1.0 for h in hits[0])
