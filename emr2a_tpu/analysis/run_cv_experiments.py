@@ -303,33 +303,34 @@ def _run_vlm_review(args, experiment_id, manifest, patient_ids, results,
     vlm_output_dir = Path(args.output_dir) / f"exp_{experiment_id}" / "vlm_review"
 
     pid_to_record = {r.get("patient_id"): r for r in manifest}
-    query_patients = [pid_to_record.get(pid) for pid in patient_ids]
 
+    # Pair each prediction with ITS OWN test patient (the reference
+    # indexes query patients by overall embeddings order,
+    # run_cv_experiments.py:410-464, so every G2 review there judges a
+    # mismatched patient — deliberate fix, not a parity port).
     retrieval_predictions, retrieval_similarities = [], []
-    retrieval_labels, top_neighbors_list = [], []
+    retrieval_labels, top_neighbors_list, query_patients = [], [], []
     sample_count = 0
     for fold_result in results["fold_results"]:
-        for i, _test_pid in enumerate(fold_result.get("test_patient_ids", [])):
+        all_top_labels = fold_result.get("all_top_labels", [])
+        all_top_scores = fold_result.get("all_top_scores", [])
+        for i, test_pid in enumerate(fold_result.get("test_patient_ids", [])):
             if sample_count >= max_vlm_samples:
                 break
-            all_top_labels = fold_result.get("all_top_labels", [])
-            all_top_scores = fold_result.get("all_top_scores", [])
-            if i < len(all_top_labels):
-                top_labels = all_top_labels[i]
-                top_scores = all_top_scores[i]
-                retrieval_predictions.append(
-                    Counter(top_labels).most_common(1)[0][0])
-                retrieval_similarities.append(top_scores)
-                retrieval_labels.append(top_labels)
-                top_neighbors_list.append(
-                    [(f"neighbor_{j}", label, float(score))
-                     for j, (label, score) in enumerate(zip(top_labels, top_scores))])
-                sample_count += 1
-            else:
-                retrieval_predictions.append(None)
-                retrieval_similarities.append([])
-                retrieval_labels.append([])
-                top_neighbors_list.append([])
+            record = pid_to_record.get(test_pid)
+            if i >= len(all_top_labels) or record is None:
+                continue
+            top_labels = all_top_labels[i]
+            top_scores = all_top_scores[i]
+            retrieval_predictions.append(
+                Counter(top_labels).most_common(1)[0][0])
+            retrieval_similarities.append(top_scores)
+            retrieval_labels.append(top_labels)
+            top_neighbors_list.append(
+                [(f"neighbor_{j}", label, float(score))
+                 for j, (label, score) in enumerate(zip(top_labels, top_scores))])
+            query_patients.append(record)
+            sample_count += 1
         if sample_count >= max_vlm_samples:
             break
 
@@ -338,7 +339,7 @@ def _run_vlm_review(args, experiment_id, manifest, patient_ids, results,
         retrieval_predictions=retrieval_predictions,
         retrieval_similarities=retrieval_similarities,
         retrieval_labels=retrieval_labels,
-        query_patients=query_patients[:sample_count],
+        query_patients=query_patients,
         top_neighbors_list=top_neighbors_list,
         manifest=manifest,
         output_dir=vlm_output_dir,

@@ -191,13 +191,19 @@ def run_fold(fold_idx, train_records, test_records, model_type, args,
         variables = model.init(key, dummy_img, train=False)
     variables = dict(variables)
 
-    optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    # torch.optim.Adam(weight_decay=...) couples L2 into the gradient
+    # BEFORE the adaptive rescaling; chain add_decayed_weights -> adam
+    # reproduces that (adamw's decoupled decay would diverge from the
+    # reference trajectory).
+    optimizer = optax.chain(
+        optax.add_decayed_weights(args.weight_decay),
+        optax.adam(args.lr))
     opt_state = optimizer.init(variables["params"])
     train_step, eval_step = make_steps(model, optimizer, use_clinical)
 
     rng = np.random.RandomState(args.seed + fold_idx)
     n_train = len(train_data["labels"])
-    best_val_acc = 0.0
+    best_val_acc = -1.0  # first epoch always records (0.0 val acc included)
     best_metrics = None
 
     for epoch in range(args.epochs):
@@ -251,6 +257,11 @@ def main(argv=None) -> None:
     from sklearn.model_selection import StratifiedKFold
 
     args = build_parser().parse_args(argv)
+    if args.pretrained:
+        raise NotImplementedError(
+            "--pretrained requires torchvision ImageNet weights, which this "
+            "build does not ship; train from scratch or convert a torch "
+            "resnet18 checkpoint via models/convert.py")
     random.seed(args.seed)
     np.random.seed(args.seed)
 

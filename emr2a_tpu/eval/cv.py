@@ -127,10 +127,12 @@ class CVRetrievalEvaluator:
                               weighted: bool = False) -> float:
         return vote_accuracy(top_labels, top_scores, true_labels, weighted)
 
-    def _batched_topk(self, query_vecs: np.ndarray, db_vecs: np.ndarray
+    def _batched_topk(self, query_vecs: np.ndarray, db_vecs: np.ndarray,
+                      k: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
+        k = min(k or self.top_k, db_vecs.shape[0])
         vals, idx = cosine_topk(jnp.asarray(query_vecs), jnp.asarray(db_vecs),
-                                self.top_k, normalize=False)
+                                k, normalize=False)
         return np.asarray(vals), np.asarray(idx)
 
     def evaluate_fold(self, train_img, train_txt, test_img, test_txt,
@@ -141,6 +143,12 @@ class CVRetrievalEvaluator:
                       train_ids: Optional[List[str]] = None) -> Dict:
         if top_k_list is None:
             top_k_list = [1, 3, 5, self.top_k]
+        # Retrieve enough neighbors for every requested top-k metric.
+        # (The reference retrieves only self.top_k and silently computes
+        # "top5" over 3 neighbors when top_k=3, cv_evaluator.py:237-264 —
+        # deliberate fix.)  Stored all_top_* artifacts keep the
+        # reference's self.top_k length for step4 contract parity.
+        k_retrieve = max([self.top_k] + list(top_k_list))
 
         train_img_proc = test_img_proc = train_txt_proc = test_txt_proc = None
         if train_img is not None and test_img is not None:
@@ -152,19 +160,19 @@ class CVRetrievalEvaluator:
             if train_img_proc is None or test_img_proc is None:
                 raise ValueError("image_only fusion requires image embeddings")
             db_vecs, query_vecs = train_img_proc, test_img_proc
-            vals, idx = self._batched_topk(query_vecs, db_vecs)
+            vals, idx = self._batched_topk(query_vecs, db_vecs, k_retrieve)
         elif fusion == "text_only":
             if train_txt_proc is None or test_txt_proc is None:
                 raise ValueError("text_only fusion requires text embeddings")
             db_vecs, query_vecs = train_txt_proc, test_txt_proc
-            vals, idx = self._batched_topk(query_vecs, db_vecs)
+            vals, idx = self._batched_topk(query_vecs, db_vecs, k_retrieve)
         elif fusion == "concat":
             if (train_img_proc is None or test_img_proc is None
                     or train_txt_proc is None or test_txt_proc is None):
                 raise ValueError("concat fusion requires both image and text embeddings")
             db_vecs = self.concat_fusion(train_img_proc, train_txt_proc)
             query_vecs = self.concat_fusion(test_img_proc, test_txt_proc)
-            vals, idx = self._batched_topk(query_vecs, db_vecs)
+            vals, idx = self._batched_topk(query_vecs, db_vecs, k_retrieve)
         elif fusion == "late":
             if (train_img_proc is None or test_img_proc is None
                     or train_txt_proc is None or test_txt_proc is None):
@@ -173,18 +181,25 @@ class CVRetrievalEvaluator:
             img_scores = jnp.asarray(test_img_proc) @ jnp.asarray(train_img_proc).T
             txt_scores = jnp.asarray(test_txt_proc) @ jnp.asarray(train_txt_proc).T
             combined = w_text * txt_scores + (1.0 - w_text) * img_scores
-            v, i = topk_scores(combined, self.top_k)
+            v, i = topk_scores(combined,
+                               min(k_retrieve, combined.shape[-1]))
             vals, idx = np.asarray(v), np.asarray(i)
         else:
             raise ValueError(f"Unknown fusion type: {fusion}")
 
-        # Host-side bookkeeping over the (q, k) results.
-        all_top_labels = [[train_labels[j] for j in row] for row in idx]
-        all_top_scores = [[float(s) for s in row] for row in vals]
+        # Host-side bookkeeping over the (q, k_retrieve) results;
+        # metrics use the full retrieval, stored/vote lists use the
+        # reference's self.top_k.
+        full_top_labels = [[train_labels[j] for j in row] for row in idx]
+        all_top_labels = [row[:self.top_k] for row in full_top_labels]
+        all_top_scores = [[float(s) for s in row[:self.top_k]]
+                          for row in vals]
         if train_ids:
-            all_top_patient_ids = [[train_ids[j] for j in row] for row in idx]
+            all_top_patient_ids = [[train_ids[j] for j in row[:self.top_k]]
+                                   for row in idx]
         else:
-            all_top_patient_ids = [[f"neighbor_{j}" for j in row] for row in idx]
+            all_top_patient_ids = [[f"neighbor_{j}" for j in row[:self.top_k]]
+                                   for row in idx]
 
         pred_top1, pred_vote, pred_weighted = predictions_from_topk(
             all_top_labels, all_top_scores)
@@ -192,7 +207,7 @@ class CVRetrievalEvaluator:
         results: Dict = {}
         for k in top_k_list:
             hits = [1 if t in lbls[:k] else 0
-                    for lbls, t in zip(all_top_labels, test_labels)]
+                    for lbls, t in zip(full_top_labels, test_labels)]
             results[f"top{k}"] = float(np.mean(hits))
 
         results["vote_acc"] = vote_accuracy(
@@ -314,8 +329,10 @@ class CVRetrievalEvaluator:
         for r in results["fold_results"]:
             for key, cm_key in (("top1", "confusion_matrix_top1"),
                                 ("vote", "confusion_matrix_vote")):
-                avg[key] += np.array([[r[cm_key][t][p] for p in labels]
-                                      for t in labels])
+                # a fold may lack rare labels entirely -> count 0
+                avg[key] += np.array(
+                    [[r[cm_key].get(t, {}).get(p, 0) for p in labels]
+                     for t in labels])
         for key in avg:
             avg[key] /= len(results["fold_results"])
 

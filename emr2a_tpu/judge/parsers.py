@@ -260,6 +260,10 @@ def parse_audit_output(output_text: str) -> Optional[Dict]:
         if thinking:
             return thinking
 
+        # Unreachable in practice: parse_thinking_output always returns
+        # a dict (defaulting to abstain), exactly as in the reference
+        # where _parse_audit_text is likewise shadowed
+        # (vlm_audit_module.py:399-405).  Kept for API parity.
         return parse_audit_text(text)
     except Exception as e:  # never crash the audit loop on parse errors
         logger.error("Error parsing audit output: %s", e)

@@ -4,8 +4,8 @@ The reference whitens each CV fold with sklearn's StandardScaler → PCA →
 row-L2 (utils/cv_evaluator.py:73-97).  This module reproduces those
 numerics as pure jitted XLA so fold preprocessing runs on-device:
 
-- StandardScaler: biased std (ddof=0); zero-variance features scale to 1
-  (sklearn's ``_handle_zeros_in_scale`` behavior).
+- StandardScaler: biased std (ddof=0); near-constant features (std <
+  10*eps) scale to 1 (sklearn's ``_handle_zeros_in_scale`` behavior).
 - PCA: center → SVD → sign-fix via sklearn's ``svd_flip`` convention
   (u_based_decision=False: largest-|.| element of each component row
   made positive), so transformed coordinates match sklearn to float
@@ -71,7 +71,11 @@ def scaler_fit(x: jax.Array) -> ScalerState:
     mean = x.mean(axis=0)
     var = x.var(axis=0)  # ddof=0, as sklearn
     std = jnp.sqrt(var)
-    scale = jnp.where(std == 0.0, 1.0, std)
+    # sklearn _handle_zeros_in_scale: near-constant features (std below
+    # 10*eps) count as constant, else float-rounding dust explodes the
+    # scaled values.
+    tiny = 10 * jnp.finfo(std.dtype).eps
+    scale = jnp.where(std < tiny, 1.0, std)
     return ScalerState(mean=mean, scale=scale)
 
 

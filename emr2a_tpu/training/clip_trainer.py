@@ -10,7 +10,9 @@ reference's capability set, and it exercises the full dp+tp story:
   (Megatron TP; XLA inserts the collectives),
 - optimizer state inherits the param shardings (ZeRO-style: sharded
   where params are sharded),
-- bf16 compute with f32 master params via optax, donated buffers.
+- dtype follows the params you pass (cast towers to bf16 for bf16
+  compute; optimizer moments then match — no separate f32 master
+  copy is kept), donated buffers.
 
 PP / SP / EP are structurally N/A for this workload (SURVEY.md §5:
 towers fit one chip at ≤8B with TP, sequences are ≤257 tokens, no MoE).
