@@ -227,21 +227,28 @@ def evaluate_predictions(predictions: List[Dict]) -> Dict:
 def calculate_agreement(predictions_list: List[List[Dict]]) -> Dict:
     if not predictions_list or len(predictions_list) < 2:
         return {}
-    n_samples = len(predictions_list[0])
-    if n_samples == 0:
+    # Align runs by patient_id, not list index: failed predictions are
+    # dropped per run, so positional pairing compares different
+    # patients (reference bug, run_vlm_direct_judging.py:498-516 —
+    # deliberate fix).
+    by_pid = [
+        {p["patient_id"]: p for p in run if p.get("pred_label")}
+        for run in predictions_list]
+    pids = [pid for pid in by_pid[0] ]
+    if not pids:
         return {}
     total_agreements = total_comparisons = 0
     per_sample = []
-    for i in range(n_samples):
-        preds = [run[i]["pred_label"] for run in predictions_list
-                 if i < len(run) and run[i].get("pred_label")]
+    for pid in pids:
+        entries = [run[pid] for run in by_pid if pid in run]
+        preds = [e["pred_label"] for e in entries]
         if len(preds) < 2:
             continue
         most_common = Counter(preds).most_common(1)[0][0]
         agree = sum(1 for p in preds if p == most_common)
         per_sample.append({
-            "patient_id": predictions_list[0][i].get("patient_id"),
-            "true_label": predictions_list[0][i].get("true_label"),
+            "patient_id": pid,
+            "true_label": entries[0].get("true_label"),
             "predictions": preds,
             "agreement_rate": float(agree / len(preds)),
             "most_common": most_common,

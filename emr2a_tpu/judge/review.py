@@ -124,7 +124,13 @@ class VLMReviewModule:
                 diagnosis = str(payload.get("diagnosis", "")).strip()
                 confidence = payload.get("confidence", 0.5)
                 coverage = payload.get("coverage", "unknown")
-                return self._normalize(diagnosis, confidence, coverage, "JSON")
+                result = self._normalize(diagnosis, confidence, coverage,
+                                         "JSON")
+                if result is not None:
+                    return result
+                # invalid class in the JSON: fall through to the text
+                # formats (the reference parser does the same,
+                # utils/vlm_review.py:287-297)
 
             m_diag = re.search(r"Diagnosis:\s*(\w+)", text, re.IGNORECASE)
             if m_diag:

@@ -232,11 +232,15 @@ def convert_hf_bert(sd: Dict[str, np.ndarray], num_layers: int,
 
 def convert_biomedclip_image_tower(sd: Dict[str, np.ndarray],
                                    num_layers: int = 12) -> Dict:
-    head_key = ("visual.head.proj.weight" if "visual.head.proj.weight" in sd
-                else "visual.proj")
+    if "visual.head.proj.weight" in sd:
+        # nn.Linear weight: (out, in) -> transpose
+        kernel = sd["visual.head.proj.weight"].T
+    else:
+        # bare open_clip Parameter 'visual.proj' is already (in, out)
+        kernel = sd["visual.proj"]
     return {
         "trunk": convert_timm_vit(sd, num_layers, prefix="visual.trunk."),
-        "head_proj": {"kernel": sd[head_key].T},
+        "head_proj": {"kernel": kernel},
     }
 
 

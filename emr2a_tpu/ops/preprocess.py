@@ -43,8 +43,9 @@ VIT_PREPROCESS = PreprocessSpec(shortest_edge=False, method="bilinear",
 # timm vit_base_patch16_224 (augreg): crop_pct 0.9 → resize 248, crop 224.
 TIMM_VIT_PREPROCESS = PreprocessSpec(resize_size=248, mean=(0.5, 0.5, 0.5),
                                      std=(0.5, 0.5, 0.5))
-# DINOv3: shortest-edge 256 → crop 224, ImageNet statistics.
-DINOV3_PREPROCESS = PreprocessSpec(resize_size=256,
+# DINOv3 (DINOv3ViTImageProcessorFast defaults): exact 224x224 resize,
+# bilinear, ImageNet statistics, no crop.
+DINOV3_PREPROCESS = PreprocessSpec(shortest_edge=False, method="bilinear",
                                    mean=(0.485, 0.456, 0.406),
                                    std=(0.229, 0.224, 0.225))
 
@@ -101,13 +102,3 @@ def sample_slice_indices(n_slices: int, sample_n: int, mode: str = "uniform",
         np.random.seed(seed)
         return np.random.choice(n_slices, size=sample_n, replace=False).tolist()
     raise ValueError(f"Unknown sampling strategy: {mode}")
-
-
-def even_spaced_indices(n_slices: int, sample_n: int) -> list:
-    """Even linspace sampling used by the VLM evidence packaging
-    (pipelines/step4_vlm_review/vlm_audit_module.py:157-172)."""
-    import numpy as np
-
-    if n_slices <= sample_n:
-        return list(range(n_slices))
-    return np.linspace(0, n_slices - 1, sample_n).astype(int).tolist()

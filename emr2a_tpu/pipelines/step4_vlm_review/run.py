@@ -58,8 +58,10 @@ def load_retrieval_results_from_folds(exp_dir: Path,
         for i in range(limit):
             all_top_labels.append(labels[i])
             all_top_scores.append(scores[i])
-            if i < len(pids):
-                all_top_patient_ids.append(pids[i])
+            # keep pid list index-aligned with the other lists even when
+            # a fold lacks per-sample pids (placeholder [] -> the
+            # neighbor_{j} fallback below)
+            all_top_patient_ids.append(pids[i] if i < len(pids) else [])
             test_patient_ids.append(test_ids[i])
 
     return {
@@ -121,6 +123,14 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
 
     for idx in indices:
         test_pid = test_patient_ids[idx]
+        record = pid_to_record.get(test_pid)
+        if record is None:
+            # skip BEFORE appending anything: the per-sample lists must
+            # stay index-aligned (the reference appends predictions
+            # first and desynchronizes every later pairing,
+            # step4/run.py:166-196 — deliberate fix)
+            logger.warning("Patient %s not found in manifest", test_pid)
+            continue
         top_labels = all_top_labels[idx]
         top_scores = all_top_scores[idx]
         retrieval_predictions.append(Counter(top_labels).most_common(1)[0][0])
@@ -135,13 +145,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                          for j, (label, score) in
                          enumerate(zip(top_labels, top_scores))]
         top_neighbors_list.append(neighbors)
-
-        record = pid_to_record.get(test_pid)
-        if record:
-            query_patients.append(record)
-            sample_patient_ids.append(test_pid)
-        else:
-            logger.warning("Patient %s not found in manifest", test_pid)
+        query_patients.append(record)
+        sample_patient_ids.append(test_pid)
 
     logger.info("Processing %d samples for VLM audit", len(query_patients))
 

@@ -125,25 +125,24 @@ class RetrievalEvaluator:
             results["weighted"] = self._weighted_acc(scores, train_labels, test_labels)
             return results
 
+        text_scores = image_scores = None
         if test_text is not None and train_text is not None:
-            scores = self._scores(test_text, train_text)
+            text_scores = self._scores(test_text, train_text)
             for top_k in top_k_list:
                 results[f"text_top{top_k}"] = self._topk_hits(
-                    scores, train_labels, test_labels, top_k)
+                    text_scores, train_labels, test_labels, top_k)
             results["text_weighted"] = self._weighted_acc(
-                scores, train_labels, test_labels)
+                text_scores, train_labels, test_labels)
 
         if test_image is not None and train_image is not None:
-            scores = self._scores(test_image, train_image)
+            image_scores = self._scores(test_image, train_image)
             for top_k in top_k_list:
                 results[f"image_top{top_k}"] = self._topk_hits(
-                    scores, train_labels, test_labels, top_k)
+                    image_scores, train_labels, test_labels, top_k)
             results["image_weighted"] = self._weighted_acc(
-                scores, train_labels, test_labels)
+                image_scores, train_labels, test_labels)
 
-        if test_text is not None and test_image is not None:
-            text_scores = self._scores(test_text, train_text)
-            image_scores = self._scores(test_image, train_image)
+        if text_scores is not None and image_scores is not None:
             fused_scores = late_fusion(text_scores, image_scores,
                                        text_weight, score_mode)
             for top_k in top_k_list:
