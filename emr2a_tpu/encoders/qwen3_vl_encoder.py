@@ -16,6 +16,7 @@ Semantics parity with the reference thinking encoders
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -24,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from emr2a_tpu.encoders.base import BaseEncoder
+
+logger = logging.getLogger(__name__)
 from emr2a_tpu.models.qwen3_vl import (
     Qwen3VLConfig,
     QwenTextModel,
@@ -35,15 +38,19 @@ from emr2a_tpu.models.qwen3_vl import (
 
 
 def make_image_processor(vision_cfg, min_pixels: int = 56 * 56,
-                         max_pixels: int = 12845056):
+                         max_pixels: int = 12845056, **kwargs):
     """Qwen patch-layout image processor (offline-capable HF class)."""
     from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
         Qwen2VLImageProcessor)
+    # NB: inherits Qwen2-VL's CLIP normalization statistics; real
+    # checkpoints should load their own preprocessor_config.json (the
+    # encoder/backend prefer AutoImageProcessor when available).  Pass
+    # image_mean/image_std here to override for other releases.
     return Qwen2VLImageProcessor(
         patch_size=vision_cfg.patch_size,
         temporal_patch_size=vision_cfg.temporal_patch_size,
         merge_size=vision_cfg.spatial_merge_size,
-        min_pixels=min_pixels, max_pixels=max_pixels)
+        min_pixels=min_pixels, max_pixels=max_pixels, **kwargs)
 
 
 class Qwen3VLEncoder(BaseEncoder):
@@ -122,7 +129,8 @@ class Qwen3VLEncoder(BaseEncoder):
                 emb = self._vision_forward(grid)(self.params,
                                                  jnp.asarray(patches))
                 out.append(np.asarray(emb, dtype=np.float32))
-            except Exception:
+            except Exception as e:
+                logger.warning("Failed to encode image: %s", e)
                 out.append(None)
         return out
 
@@ -168,6 +176,7 @@ class Qwen3VLEncoder(BaseEncoder):
                 emb = self._text_forward(ids.shape[1])(
                     self.params, jnp.asarray(ids), jnp.asarray(pos))
                 out.append(np.asarray(emb[0], dtype=np.float32))
-            except Exception:
+            except Exception as e:
+                logger.warning("Failed to encode text: %s", e)
                 out.append(None)
         return out

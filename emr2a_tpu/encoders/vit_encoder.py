@@ -57,12 +57,15 @@ class ViTEncoder(JitImageTextEncoder):
             return self._tower.apply({"params": p}, pixels)
 
         # timm crop_pct=0.9 geometry scaled to the configured size
-        # (224 -> resize 248, crop 224).
+        # (floor(size/0.9): 224 -> resize 248, crop 224).
         from emr2a_tpu.ops.preprocess import PreprocessSpec
-        spec = PreprocessSpec(
-            resize_size=int(config.image_size / 0.9 + 0.5),
-            crop_size=config.image_size,
-            mean=TIMM_VIT_PREPROCESS.mean, std=TIMM_VIT_PREPROCESS.std)
+        if config.image_size == 224:
+            spec = TIMM_VIT_PREPROCESS
+        else:
+            spec = PreprocessSpec(
+                resize_size=int(config.image_size / 0.9),
+                crop_size=config.image_size,
+                mean=TIMM_VIT_PREPROCESS.mean, std=TIMM_VIT_PREPROCESS.std)
 
         super().__init__(
             params=params, image_apply=image_apply, text_apply=None,

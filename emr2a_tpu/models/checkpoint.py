@@ -59,8 +59,10 @@ def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:
 def _load_torch(path: Path) -> Dict[str, np.ndarray]:
     import torch
     sd = torch.load(str(path), map_location="cpu", weights_only=True)
-    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
-        sd = sd["state_dict"]
+    for wrapper in ("state_dict", "model", "model_state", "model_state_dict"):
+        if wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+            break
     return {k: v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
             for k, v in sd.items()}
 

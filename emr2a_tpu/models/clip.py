@@ -76,11 +76,13 @@ class BioMedCLIPTextTower(nn.Module):
         pooled = BertEncoder(self.config.text, pooling="cls",
                              name="bert")(input_ids, attention_mask)
         if self.config.text_proj == "mlp":
+            # open_clip HFTextEncoder proj="mlp" builds bias-free Linears
             d = self.config.text.hidden_size
             hidden = (d + self.config.projection_dim) // 2
-            h = nn.Dense(hidden, name="proj_fc1")(pooled)
+            h = nn.Dense(hidden, use_bias=False, name="proj_fc1")(pooled)
             h = jnp.asarray(
                 nn.gelu(h, approximate=False), pooled.dtype)
-            return nn.Dense(self.config.projection_dim, name="proj_fc2")(h)
+            return nn.Dense(self.config.projection_dim, use_bias=False,
+                            name="proj_fc2")(h)
         return nn.Dense(self.config.projection_dim, use_bias=False,
                         name="proj")(pooled)

@@ -162,7 +162,11 @@ def convert_timm_vit(sd: Dict[str, np.ndarray], num_layers: int,
             sd.get(prefix + "patch_embed.proj.bias")),
         "cls_token": sd[prefix + "cls_token"],
         "pos_embed": sd[prefix + "pos_embed"],
-        "final_ln": _ln(sd, prefix + "norm"),
+        # global_pool="avg" checkpoints carry fc_norm (post-pool norm)
+        # and an Identity pre-pool norm; token-pool checkpoints carry
+        # norm.  Either maps to our final_ln.
+        "final_ln": _ln(sd, prefix + ("norm" if prefix + "norm.weight" in sd
+                                      else "fc_norm")),
     }
     for i in range(num_layers):
         p = f"{prefix}blocks.{i}."
@@ -249,11 +253,12 @@ def convert_biomedclip_text_tower(sd: Dict[str, np.ndarray],
     params = {
         "bert": convert_hf_bert(sd, num_layers, prefix="text.transformer."),
     }
-    if "text.proj.0.weight" in sd:  # MLP proj
-        params["proj_fc1"] = {"kernel": sd["text.proj.0.weight"].T,
-                              "bias": sd["text.proj.0.bias"]}
-        params["proj_fc2"] = {"kernel": sd["text.proj.2.weight"].T,
-                              "bias": sd["text.proj.2.bias"]}
+    if "text.proj.0.weight" in sd:  # MLP proj (open_clip: bias-free)
+        params["proj_fc1"] = {"kernel": sd["text.proj.0.weight"].T}
+        params["proj_fc2"] = {"kernel": sd["text.proj.2.weight"].T}
+        if "text.proj.0.bias" in sd:
+            params["proj_fc1"]["bias"] = sd["text.proj.0.bias"]
+            params["proj_fc2"]["bias"] = sd["text.proj.2.bias"]
     elif "text.proj.weight" in sd:
         params["proj"] = {"kernel": sd["text.proj.weight"].T}
     elif "text.proj" in sd:

@@ -113,7 +113,7 @@ class TransformerBlock(nn.Module):
             from emr2a_tpu.ops.mlp import fused_ln_mlp
             ln2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                                name="ln2")
-            mlp = Mlp(mlp_dim_safe(self.mlp_dim), activation=self.activation,
+            mlp = Mlp(self.mlp_dim, activation=self.activation,
                       dtype=self.dtype, name="mlp")
             # Materialize the submodule params without running them.
             if self.is_initializing():
@@ -132,13 +132,9 @@ class TransformerBlock(nn.Module):
                 eps=self.ln_eps, activation=self.activation, tile=256)
             return out.reshape(B, S, d)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x)
-        x = x + Mlp(mlp_dim_safe(self.mlp_dim), activation=self.activation,
+        x = x + Mlp(self.mlp_dim, activation=self.activation,
                     dtype=self.dtype, name="mlp")(h)
         return x
-
-
-def mlp_dim_safe(d: int) -> int:
-    return int(d)
 
 
 def make_causal_mask(seq_len: int, dtype=jnp.float32):

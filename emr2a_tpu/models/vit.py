@@ -64,7 +64,9 @@ CLIP_VIT_L14_336_VISION = ViTConfig(
     num_heads=16, mlp_dim=4096, activation="quick_gelu",
     use_pre_layernorm=True, patch_bias=False, pooling="cls_ln", ln_eps=1e-5)
 HF_VIT_B16 = ViTConfig(ln_eps=1e-12, pooling="mean")
-TIMM_VIT_B16 = ViTConfig(ln_eps=1e-6, pooling="mean")
+# timm global_pool="avg" uses fc_norm AFTER pooling (pre-pool norm is
+# Identity) — a different embedding than LN-then-mean.
+TIMM_VIT_B16 = ViTConfig(ln_eps=1e-6, pooling="avg_fc_norm")
 BIOMEDCLIP_VIT_B16 = ViTConfig(ln_eps=1e-6, pooling="cls")
 
 
@@ -117,16 +119,19 @@ class VisionTransformer(nn.Module):
 
         ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="final_ln")
 
-        if cfg.pooling == "cls_ln":
-            # CLIP: post-LN over the full sequence, pooled = cls token.
-            return ln(x)[:, 0]
-        if cfg.pooling == "cls":
+        if cfg.pooling in ("cls_ln", "cls"):
+            # post-LN then cls token (HF CLIP pooler / timm token pooling)
             return ln(x)[:, 0]
         if cfg.pooling == "mean":
-            # timm global_pool="avg": mean over patch tokens (cls excluded).
+            # HF ViTModel convention: LN over tokens, then mean of patches.
             x = ln(x)
             start = 1 if cfg.use_cls_token else 0
             return x[:, start:].mean(axis=1)
+        if cfg.pooling == "avg_fc_norm":
+            # timm global_pool="avg": mean of patch tokens FIRST, then
+            # fc_norm (the pre-pool norm is Identity in that config).
+            start = 1 if cfg.use_cls_token else 0
+            return ln(x[:, start:].mean(axis=1))
         if cfg.pooling == "none":
             return ln(x)
         raise ValueError(f"unknown pooling {cfg.pooling}")

@@ -86,7 +86,8 @@ class RetrievalEvaluator:
                                         jnp.asarray(train_emb), normalize=True)
 
     def _topk_hits(self, scores, train_labels, test_labels, top_k) -> float:
-        _, idx = topk_scores(scores, top_k)
+        # degrade gracefully for tiny cohorts (np.argsort[-k:] semantics)
+        _, idx = topk_scores(scores, min(top_k, scores.shape[-1]))
         idx = np.asarray(idx)
         correct = sum(
             1 for i, t in enumerate(test_labels)
@@ -94,7 +95,7 @@ class RetrievalEvaluator:
         return correct / len(test_labels)
 
     def _weighted_acc(self, scores, train_labels, test_labels) -> float:
-        vals, idx = topk_scores(scores, 5)
+        vals, idx = topk_scores(scores, min(5, scores.shape[-1]))
         vals, idx = np.asarray(vals), np.asarray(idx)
         correct = 0
         for i, t in enumerate(test_labels):
@@ -158,6 +159,7 @@ class RetrievalEvaluator:
     def get_all_top_labels(self, scores: np.ndarray, train_labels: List[str],
                            test_labels: List[str], top_k: int = 5
                            ) -> List[List[str]]:
-        _, idx = topk_scores(jnp.asarray(scores), top_k)
+        _, idx = topk_scores(jnp.asarray(scores),
+                             min(top_k, scores.shape[-1]))
         idx = np.asarray(idx)
         return [[train_labels[j] for j in row] for row in idx]

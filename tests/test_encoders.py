@@ -108,10 +108,13 @@ def test_encode_images_native_fast_path(tmp_path, rng):
                     num_layers=1, num_heads=2, mlp_dim=64, pooling="mean")
     enc = ViTEncoder(config=cfg)
     enc.assume_square_sources = True
+    # source at exactly the spec resize size -> both decode paths are
+    # resize-free and must agree up to decode-impl noise
+    size = enc.preprocess.resize_size
     paths = []
     for i in range(3):
         p = tmp_path / f"x{i}.png"
-        Image.fromarray((rng.rand(36, 36, 3) * 255).astype(np.uint8)).save(p)
+        Image.fromarray((rng.rand(size, size, 3) * 255).astype(np.uint8)).save(p)
         paths.append(p)
     paths.append(tmp_path / "missing.png")
     fast = enc.encode_images(paths)

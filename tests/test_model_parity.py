@@ -108,7 +108,38 @@ def test_hf_vit_parity(rng):
     with torch.no_grad():
         hidden = model(torch.tensor(pixels.transpose(0, 3, 1, 2))
                        ).last_hidden_state.numpy()
-    expected = hidden[:, 1:].mean(axis=1)  # timm global_pool="avg" semantics
+    expected = hidden[:, 1:].mean(axis=1)  # HF convention: LN then mean
+    got = np.asarray(tower.apply({"params": params}, pixels))
+    np.testing.assert_allclose(got, expected, atol=ATOL, rtol=1e-3)
+
+
+def test_timm_avg_fc_norm_pooling(rng):
+    """timm global_pool="avg": mean of patch tokens FIRST, then fc_norm
+    (pre-pool norm is Identity in that config)."""
+    from transformers import ViTConfig as HFViTConfig, ViTModel
+    hcfg = HFViTConfig(hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=128,
+                       image_size=32, patch_size=16)
+    torch.manual_seed(4)
+    model = ViTModel(hcfg, add_pooling_layer=False).eval()
+    sd = torch_state_dict_to_numpy(model.state_dict())
+    vcfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                     num_layers=2, num_heads=2, mlp_dim=128,
+                     ln_eps=1e-12, pooling="avg_fc_norm")
+    tower = VisionTransformer(vcfg)
+    params = convert_hf_vit(sd, num_layers=2)
+
+    pixels = rng.randn(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.tensor(pixels.transpose(0, 3, 1, 2)),
+                    output_hidden_states=True)
+        pre_ln = out.hidden_states[-1].numpy()  # before final layernorm
+    pooled = pre_ln[:, 1:].mean(axis=1)
+    w = sd["layernorm.weight"]
+    b = sd["layernorm.bias"]
+    mu = pooled.mean(-1, keepdims=True)
+    var = ((pooled - mu) ** 2).mean(-1, keepdims=True)
+    expected = (pooled - mu) / np.sqrt(var + 1e-12) * w + b
     got = np.asarray(tower.apply({"params": params}, pixels))
     np.testing.assert_allclose(got, expected, atol=ATOL, rtol=1e-3)
 
