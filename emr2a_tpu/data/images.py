@@ -27,13 +27,17 @@ except ImportError:  # pragma: no cover
 
 
 def load_image_rgb(path) -> Optional[np.ndarray]:
-    """Decode one image to (H, W, 3) uint8 RGB; None on failure."""
-    try:
-        if _HAS_CV2:
+    """Decode one image to (H, W, 3) uint8 RGB; None on failure.
+    cv2 (C++) first for speed, PIL as the fallback for formats cv2's
+    build can't handle."""
+    if _HAS_CV2:
+        try:
             arr = cv2.imread(str(path), cv2.IMREAD_COLOR)
-            if arr is None:
-                raise ValueError(f"cv2 failed to decode {path}")
-            return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+            if arr is not None:
+                return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+        except Exception:
+            pass
+    try:
         from PIL import Image
         with Image.open(path) as img:
             return np.asarray(img.convert("RGB"))

@@ -26,13 +26,6 @@ class FakeLLM(BaseLLM):
                            "n_images": len(images) if images else 0})
         return self._next()
 
-    def generate_batch(self, prompts, images_list=None, max_new_tokens=512,
-                       temperature=0.2, top_p=0.9, **kwargs) -> List[str]:
-        return [self.generate(
-                    p, images_list[i] if images_list else None,
-                    max_new_tokens, temperature, top_p, **kwargs)
-                for i, p in enumerate(prompts)]
-
     def chat(self, messages: List[Dict[str, Union[str, List[Dict]]]],
              max_new_tokens=512, temperature=0.2, top_p=0.9, **kwargs) -> str:
         self.calls.append({"messages": messages})

@@ -44,13 +44,6 @@ class OpenAILLM(BaseLLM):
         return self.chat([{"role": "user", "content": content}],
                          max_new_tokens, temperature, top_p, **kwargs)
 
-    def generate_batch(self, prompts, images_list=None, max_new_tokens=512,
-                       temperature=0.2, top_p=0.9, **kwargs) -> List[str]:
-        return [self.generate(
-                    p, images_list[i] if images_list else None,
-                    max_new_tokens, temperature, top_p, **kwargs)
-                for i, p in enumerate(prompts)]
-
     def chat(self, messages: List[Dict[str, Union[str, List[Dict]]]],
              max_new_tokens=512, temperature=0.2, top_p=0.9, **kwargs) -> str:
         response = self.client.chat.completions.create(

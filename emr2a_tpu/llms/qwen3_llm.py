@@ -28,39 +28,55 @@ class Qwen3LLM(BaseLLM):
             raise RuntimeError(f"Failed to load Qwen3-VL from {model_path}")
         self.backend = backend
 
+    def _gen_kwargs(self, max_new_tokens, temperature, top_p):
+        kwargs = dict(max_new_tokens=max_new_tokens, temperature=temperature)
+        try:  # backends without nucleus sampling (e.g. the fake) omit it
+            import inspect
+            if "top_p" in inspect.signature(self.backend.generate).parameters:
+                kwargs["top_p"] = top_p
+        except (TypeError, ValueError):
+            pass
+        return kwargs
+
     def generate(self, prompt, images=None, max_new_tokens=512,
                  temperature=0.2, top_p=0.9, **kwargs) -> str:
         return self.backend.generate(
-            images or [], prompt, max_new_tokens=max_new_tokens,
-            temperature=temperature)
+            images or [], prompt,
+            **self._gen_kwargs(max_new_tokens, temperature, top_p))
 
-    def generate_batch(self, prompts, images_list=None, max_new_tokens=512,
-                       temperature=0.2, top_p=0.9, **kwargs) -> List[str]:
-        return [self.generate(
-                    p, images_list[i] if images_list else None,
-                    max_new_tokens, temperature, top_p, **kwargs)
-                for i, p in enumerate(prompts)]
+    @staticmethod
+    def _text_of(content) -> str:
+        if isinstance(content, str):
+            return content
+        return " ".join(item.get("text", "") for item in content or []
+                        if isinstance(item, dict) and item.get("type") == "text")
 
     def chat(self, messages: List[Dict[str, Union[str, List[Dict]]]],
              max_new_tokens=512, temperature=0.2, top_p=0.9, **kwargs) -> str:
         """Flatten chat messages into (images, prompt, system) for the
-        backend; the backend applies the model's chat template."""
+        backend, preserving role structure for multi-turn histories;
+        the backend applies the model's chat template for the final
+        user turn."""
         system = None
         images: List = []
-        text_parts: List[str] = []
+        turns: List[str] = []
         for msg in messages:
+            role = msg.get("role")
             content = msg.get("content")
-            if msg.get("role") == "system":
-                system = content if isinstance(content, str) else str(content)
+            if role == "system":
+                system = self._text_of(content)
                 continue
-            if isinstance(content, str):
-                text_parts.append(content)
-                continue
-            for item in content or []:
-                if item.get("type") == "text":
-                    text_parts.append(item.get("text", ""))
-                elif item.get("type") == "image":
-                    images.append(item.get("image"))
+            if not isinstance(content, str):
+                for item in content or []:
+                    if isinstance(item, dict) and item.get("type") == "image":
+                        images.append(item.get("image"))
+            text = self._text_of(content)
+            if role == "assistant":
+                turns.append(f"Assistant: {text}")
+            elif turns:  # later user turns keep their role marker
+                turns.append(f"User: {text}")
+            else:
+                turns.append(text)
         return self.backend.generate(
-            images, "\n".join(text_parts), system=system,
-            max_new_tokens=max_new_tokens, temperature=temperature)
+            images, "\n".join(turns), system=system,
+            **self._gen_kwargs(max_new_tokens, temperature, top_p))

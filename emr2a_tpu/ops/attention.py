@@ -8,8 +8,11 @@ the whole per-(batch, head) problem fits VMEM, so the kernel simply
 computes logits → masked softmax → output per grid cell with zero HBM
 round trips: traffic drops to Q+K+V+O only.
 
-Not a streaming flash kernel (no K/V tiling loop) — unnecessary below
-~1k tokens, where one (S, S) f32 tile is ≤ 1 MB of VMEM.
+Not a streaming flash kernel (no K/V tiling loop): the per-batch-item
+scratch holds all H heads' (S, S) f32 logits (H*S*S*4 bytes — ~3 MB for
+ViT-B at S=256), so VMEM bounds this kernel to encoder-scale sequences
+(roughly S ≲ 350 at 12 heads); longer sequences need the K/V-tiled
+flash formulation.
 """
 
 from __future__ import annotations

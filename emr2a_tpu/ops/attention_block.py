@@ -98,12 +98,19 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
                        wv, bv, wo, bo, num_heads: int, eps: float = 1e-6,
                        head_group: int = 6, block_b: int = 1,
                        interpret: bool = False) -> jax.Array:
-    """x (B, S, D) -> x + out_proj(attention(LN(x))).  B must divide by
-    block_b; S pads to a lane multiple with key masking."""
+    """x (B, S, D) -> x + out_proj(attention(LN(x))).  B pads to a
+    block_b multiple; S pads to a lane multiple with key masking."""
     B, S, d = x.shape
+    if d % num_heads:
+        raise ValueError(f"hidden {d} not divisible by num_heads {num_heads}")
+    if num_heads % head_group:
+        # pick the largest divisor of num_heads not exceeding the request
+        head_group = next(g for g in range(min(head_group, num_heads), 0, -1)
+                          if num_heads % g == 0)
     head_dim = d // num_heads
     sp = -(-S // 128) * 128
-    xp = jnp.pad(x, [(0, 0), (0, sp - S), (0, 0)])
+    b_pad = (-B) % block_b
+    xp = jnp.pad(x, [(0, b_pad), (0, sp - S), (0, 0)])
     row = lambda v: v.reshape(1, -1)
 
     xspec = pl.BlockSpec((block_b, sp, d), lambda i: (i, 0, 0),
@@ -115,10 +122,10 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
             _attn_block_kernel, eps=eps, num_heads=num_heads,
             head_dim=head_dim, valid_len=S, head_group=head_group,
             block_b=block_b),
-        grid=(B // block_b,),
+        grid=((B + b_pad) // block_b,),
         in_specs=[xspec, hbm, hbm, hbm, hbm, vec, vec, vec, vec, vec, vec],
         out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((B, sp, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B + b_pad, sp, d), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((d, d), wq.dtype), pltpu.VMEM((d, d), wk.dtype),
             pltpu.VMEM((d, d), wv.dtype), pltpu.VMEM((d, d), wo.dtype),
@@ -133,4 +140,4 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
         ),
     )(xp, wq, wk, wv, wo, row(bq), row(bk), row(bv), row(bo),
       row(ln_scale), row(ln_bias))
-    return out[:, :S]
+    return out[:B, :S]
