@@ -19,3 +19,23 @@ Layer map (mirrors reference layering, see SURVEY.md §1):
 __version__ = "0.1.0"
 
 from emr2a_tpu.config import BaseConfig, EncoderConfig, LLMConfig  # noqa: F401
+
+_LAZY = {
+    "create_encoder": "emr2a_tpu.encoders",
+    "create_llm": "emr2a_tpu.llms",
+    "ShardedEmbeddingDatabase": "emr2a_tpu.retrieval",
+    "RetrievalEvaluator": "emr2a_tpu.retrieval",
+    "CVRetrievalEvaluator": "emr2a_tpu.eval",
+    "compute_audit_metrics": "emr2a_tpu.eval",
+    "VLMAuditModule": "emr2a_tpu.judge",
+    "VLMReviewModule": "emr2a_tpu.judge",
+    "load_manifest": "emr2a_tpu.data",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import emr2a_tpu` light)."""
+    if name in _LAZY:
+        import importlib
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
