@@ -13,7 +13,7 @@ import ctypes
 import logging
 import subprocess
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

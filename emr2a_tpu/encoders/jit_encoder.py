@@ -14,11 +14,9 @@ Text path mirrors it with token-length buckets.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from emr2a_tpu.data.images import group_by_shape, resize_to

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import base64
 import io
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Union
 
 from emr2a_tpu.llms.base import BaseLLM
 

@@ -9,7 +9,7 @@ torch.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Union
 
 from emr2a_tpu.llms.base import BaseLLM
 

@@ -11,7 +11,7 @@ checkpoints so later runs skip torch entirely.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -9,8 +9,7 @@ Capability parity targets (reference):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -25,7 +25,6 @@ region with no intermediate HBM round trip.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ pod, XLA collectives ride ICI automatically once shardings are annotated.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -13,7 +13,7 @@ batched (q, dim) x (dim, n) MXU matmul + ``lax.top_k``.
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
