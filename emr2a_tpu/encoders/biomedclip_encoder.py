@@ -44,7 +44,8 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
 
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[BioMedCLIPConfig] = None, params=None,
-                 tokenizer=None, max_batch: int = 256, context_length: int = 256):
+                 tokenizer=None, max_batch: int = 256,
+                 context_length: int = 256, mesh=None):
         if config is None:
             config = default_biomedclip_config()
         if model_path is not None:
@@ -76,7 +77,7 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
         super().__init__(
             params=params, image_apply=image_apply, text_apply=text_apply,
             tokenize=self._tokenize_texts, preprocess=BIOMEDCLIP_PREPROCESS,
-            normalize=True, max_batch=max_batch, device=device)
+            normalize=True, max_batch=max_batch, device=device, mesh=mesh)
 
     @classmethod
     def random_init(cls, config: Optional[BioMedCLIPConfig] = None,

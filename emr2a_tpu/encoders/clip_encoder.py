@@ -57,7 +57,7 @@ class CLIPEncoder(JitImageTextEncoder):
 
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[CLIPConfig] = None, params=None,
-                 tokenizer=None, max_batch: int = 256):
+                 tokenizer=None, max_batch: int = 256, mesh=None):
         if model_path is not None:
             mp = Path(model_path)
             with (mp / "config.json").open() as f:
@@ -93,7 +93,7 @@ class CLIPEncoder(JitImageTextEncoder):
         super().__init__(
             params=params, image_apply=image_apply, text_apply=text_apply,
             tokenize=self._tokenize_texts, preprocess=spec, normalize=True,
-            max_batch=max_batch, device=device)
+            max_batch=max_batch, device=device, mesh=mesh)
 
     @classmethod
     def random_init(cls, config: CLIPConfig, tokenizer=None, seed: int = 0,

@@ -23,6 +23,7 @@ from emr2a_tpu.data.images import group_by_shape, resize_to
 from emr2a_tpu.encoders.base import BaseEncoder
 from emr2a_tpu.ops.preprocess import PreprocessSpec, preprocess_images
 from emr2a_tpu.ops.similarity import l2_normalize_rows
+from emr2a_tpu.parallel.sharding import batch_sharding, replicated
 
 
 def _bucket(n: int, max_batch: int) -> int:
@@ -49,8 +50,15 @@ class JitImageTextEncoder(BaseEncoder):
                  normalize: bool = True,
                  max_batch: int = 256,
                  device: str = "tpu",
-                 assume_square_sources: bool = False):
+                 assume_square_sources: bool = False,
+                 mesh=None):
         super().__init__(device)
+        # Multi-chip embedding throughput (SURVEY §2.2 dp row): with a
+        # mesh, image batches shard over the ``data`` axis and params
+        # replicate; XLA partitions the forward across chips.
+        self.mesh = mesh
+        if mesh is not None:
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
         self._image_apply = image_apply
         self._text_apply = text_apply
@@ -86,6 +94,20 @@ class JitImageTextEncoder(BaseEncoder):
 
     # -- host batching --
 
+    def _bucket_for(self, n: int) -> int:
+        b = _bucket(n, self.max_batch)
+        if self.mesh is not None:
+            # sharded batches must divide by the data-axis size
+            from emr2a_tpu.parallel.mesh import DATA_AXIS
+            n_shards = self.mesh.shape[DATA_AXIS]
+            b = max(b, n_shards)
+        return b
+
+    def _shard(self, batch: np.ndarray):
+        if self.mesh is None:
+            return batch
+        return jax.device_put(batch, batch_sharding(self.mesh, ndim=batch.ndim))
+
     def encode_batch_images(self, images: List[Optional[np.ndarray]]
                             ) -> List[Optional[np.ndarray]]:
         if self._jit_image is None:
@@ -108,12 +130,13 @@ class JitImageTextEncoder(BaseEncoder):
             for start in range(0, len(idxs), self.max_batch):
                 chunk = idxs[start:start + self.max_batch]
                 batch = np.stack([canon[i] for i in chunk])
-                b = _bucket(len(chunk), self.max_batch)
+                b = self._bucket_for(len(chunk))
                 if b > len(chunk):
                     pad = np.zeros((b - len(chunk),) + batch.shape[1:],
                                    batch.dtype)
                     batch = np.concatenate([batch, pad])
-                feats = np.asarray(self._jit_image(self.params, batch))
+                feats = np.asarray(
+                    self._jit_image(self.params, self._shard(batch)))
                 for j, i in enumerate(chunk):
                     out[i] = feats[j]
         return out
@@ -138,12 +161,13 @@ class JitImageTextEncoder(BaseEncoder):
             if not ok.any():
                 continue
             batch = batch[ok]
-            b = _bucket(len(batch), self.max_batch)
+            b = self._bucket_for(len(batch))
             if b > len(batch):
                 batch = np.concatenate(
                     [batch, np.zeros((b - len(batch),) + batch.shape[1:],
                                      batch.dtype)])
-            feats = np.asarray(self._jit_image(self.params, batch))
+            feats = np.asarray(
+                self._jit_image(self.params, self._shard(batch)))
             out_embs.append(feats[:int(ok.sum())])
         if out_embs:
             return np.concatenate(out_embs, axis=0)

@@ -124,3 +124,18 @@ def test_encode_images_native_fast_path(tmp_path, rng):
     for f, s in zip(fast, slow):
         cos = np.dot(f, s) / (np.linalg.norm(f) * np.linalg.norm(s))
         assert cos > 0.999, cos
+
+
+def test_mesh_sharded_batch_encoding(rng):
+    """dp inference: image batches shard over the data mesh axis and
+    produce the same embeddings as the single-device path."""
+    from emr2a_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh((8, 1))
+    cfg = small_clip_config()
+    single = CLIPEncoder.random_init(cfg, max_batch=16)
+    sharded = CLIPEncoder.random_init(cfg, max_batch=16, mesh=mesh)
+    imgs = [(rng.rand(40, 40, 3) * 255).astype(np.uint8) for _ in range(12)]
+    a = single.encode_batch_images(imgs)
+    b = sharded.encode_batch_images(imgs)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-5)
