@@ -55,12 +55,12 @@ def create_encoder(encoder_type: str, device: str = "tpu",
     if et == "biomedclip":
         return BioMedCLIPEncoder(
             model_path=model_path or kwargs.get("biomedclip_config", {}).get("model_path"),
-            device=device)
+            device=device, mesh=kwargs.get("mesh"))
 
     if et in _CLIP_ALIASES:
         return CLIPEncoder(
             model_path=model_path or kwargs.get("clip_config", {}).get("model_path"),
-            device=device)
+            device=device, mesh=kwargs.get("mesh"))
 
     if et in _DINO_ALIASES:
         return DINOEncoder(

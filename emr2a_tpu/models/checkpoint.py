@@ -80,3 +80,27 @@ def restore_params(directory):
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(Path(directory).absolute())
+
+
+def load_or_convert(model_path, convert_fn, cache_name: str = "emr2a_flax"):
+    """Converted-params cache beside the checkpoint: the first load
+    torch-converts and writes an Orbax checkpoint; later loads skip
+    torch entirely (matters for the 8B judge, where torch.load alone
+    costs minutes).
+
+    convert_fn(state_dict) -> flax params; cache key is the function's
+    name + cache_name under <model_path>/<cache_name>/.
+    """
+    path = Path(model_path)
+    cache_dir = path / f"{cache_name}.orbax"
+    if cache_dir.exists():
+        try:
+            return restore_params(cache_dir)
+        except Exception:
+            pass  # fall through to reconversion
+    params = convert_fn(load_state_dict(path))
+    try:
+        save_params(params, cache_dir)
+    except Exception:
+        pass  # read-only checkpoint dirs: conversion still works
+    return params

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--device", default="tpu")
     parser.add_argument("--output_dir", default="outputs/features")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard image batches over all devices "
+                             "(mesh data axis)")
     return parser
 
 
@@ -97,9 +100,15 @@ def main(argv=None) -> None:
     logger.info("Loaded %d records from manifest", len(manifest))
 
     config = BaseConfig()
+    encoder_kwargs = {}
+    if args.data_parallel:
+        from emr2a_tpu.parallel.mesh import default_mesh
+        encoder_kwargs["mesh"] = default_mesh()
+        logger.info("Data-parallel encoding over %d devices",
+                    encoder_kwargs["mesh"].size)
     encoder = create_encoder(
         encoder_type=args.encoder_type, device=args.device,
-        model_path=args.model_path)
+        model_path=args.model_path, **encoder_kwargs)
 
     image_paths = load_images(manifest, config.data_root)
     logger.info("Found images for %d patients", len(image_paths))

@@ -74,3 +74,21 @@ def test_orbax_param_cache_roundtrip(tmp_path, rng):
     restored = restore_params(tmp_path / "cache")
     np.testing.assert_array_equal(restored["layer"]["kernel"],
                                   params["layer"]["kernel"])
+
+
+def test_load_or_convert_caches(clip_dir, rng):
+    from emr2a_tpu.models.checkpoint import load_or_convert
+    from emr2a_tpu.models.convert import convert_hf_clip_image_tower
+    d, model = clip_dir
+    calls = []
+
+    def convert(sd):
+        calls.append(1)
+        return convert_hf_clip_image_tower(sd, num_layers=2)
+
+    p1 = load_or_convert(d, convert)
+    p2 = load_or_convert(d, convert)  # served from the orbax cache
+    assert len(calls) == 1
+    np.testing.assert_array_equal(
+        np.asarray(p1["visual_projection"]["kernel"]),
+        np.asarray(p2["visual_projection"]["kernel"]))
