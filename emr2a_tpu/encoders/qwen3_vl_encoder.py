@@ -58,7 +58,8 @@ class Qwen3VLEncoder(BaseEncoder):
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  target_layers: List[int] = [-3, -2, -1],
                  config: Optional[Qwen3VLConfig] = None, params=None,
-                 tokenizer=None, image_processor=None):
+                 tokenizer=None, image_processor=None,
+                 cache_params: bool = True):
         super().__init__(device)
         self.target_layers = list(target_layers)
         if model_path is not None:
@@ -66,10 +67,14 @@ class Qwen3VLEncoder(BaseEncoder):
             with (mp / "config.json").open() as f:
                 hf_cfg = json.load(f)
             config = qwen3_vl_config_from_hf(hf_cfg)
-            from emr2a_tpu.models.checkpoint import load_state_dict
-            sd = load_state_dict(mp)
-            params = convert_hf_qwen3_vl(sd, config.vision.depth,
-                                         config.text.num_layers)
+            from emr2a_tpu.models.checkpoint import (
+                load_or_convert, load_state_dict)
+            convert = lambda sd: convert_hf_qwen3_vl(
+                sd, config.vision.depth, config.text.num_layers)
+            if cache_params:
+                params = load_or_convert(mp, convert)
+            else:
+                params = convert(load_state_dict(mp))
             if tokenizer is None:
                 try:
                     from transformers import AutoTokenizer

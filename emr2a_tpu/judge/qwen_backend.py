@@ -33,7 +33,8 @@ class QwenVLBackend:
 
     def __init__(self, model_path: str, device: str = "tpu",
                  config=None, params=None, tokenizer=None,
-                 image_processor=None, prompt_bucket: int = 128):
+                 image_processor=None, prompt_bucket: int = 128,
+                 cache_params: bool = True):
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         if params is None:
@@ -41,10 +42,12 @@ class QwenVLBackend:
             with (mp / "config.json").open() as f:
                 hf_cfg = json.load(f)
             config = qwen3_vl_config_from_hf(hf_cfg)
-            from emr2a_tpu.models.checkpoint import load_state_dict
-            params = convert_hf_qwen3_vl(load_state_dict(mp),
-                                         config.vision.depth,
-                                         config.text.num_layers)
+            from emr2a_tpu.models.checkpoint import load_or_convert
+            # converted-params cache beside the checkpoint: the 8B
+            # judge's torch.load + convert costs minutes, Orbax restore
+            # does not (models/checkpoint.py load_or_convert)
+            params = load_or_convert(mp, lambda sd: convert_hf_qwen3_vl(
+                sd, config.vision.depth, config.text.num_layers))
         if tokenizer is None and model_path is not None:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(str(model_path))

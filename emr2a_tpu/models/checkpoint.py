@@ -10,6 +10,7 @@ checkpoints so later runs skip torch entirely.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 from typing import Dict
 
@@ -82,6 +83,26 @@ def restore_params(directory):
     return ckptr.restore(Path(directory).absolute())
 
 
+def _weights_fingerprint(ckpt_dir: Path) -> str:
+    weights = sorted(list(ckpt_dir.glob("*.safetensors"))
+                     + list(ckpt_dir.glob("*.bin"))
+                     + list(ckpt_dir.glob("*.pt")))
+    return json.dumps([(w.name, w.stat().st_size, int(w.stat().st_mtime))
+                       for w in weights])
+
+
+def _cache_stale(ckpt_dir: Path, cache_dir: Path) -> bool:
+    """True unless the stamp written at conversion time matches the
+    current weight files (name/size/mtime) — catches swapped weights
+    even when the replacement's mtime predates the cache (tar/rsync
+    preserve mtimes)."""
+    try:
+        stamp = (cache_dir / "weights_stamp.json").read_text()
+        return stamp != _weights_fingerprint(ckpt_dir)
+    except OSError:
+        return True
+
+
 def load_or_convert(model_path, convert_fn, cache_name: str = "emr2a_flax"):
     """Converted-params cache beside the checkpoint: the first load
     torch-converts and writes an Orbax checkpoint; later loads skip
@@ -93,14 +114,19 @@ def load_or_convert(model_path, convert_fn, cache_name: str = "emr2a_flax"):
     """
     path = Path(model_path)
     cache_dir = path / f"{cache_name}.orbax"
-    if cache_dir.exists():
+    if cache_dir.exists() and not _cache_stale(path, cache_dir):
         try:
             return restore_params(cache_dir)
         except Exception:
             pass  # fall through to reconversion
     params = convert_fn(load_state_dict(path))
     try:
+        if cache_dir.exists():
+            import shutil
+            shutil.rmtree(cache_dir)  # orbax refuses to overwrite
         save_params(params, cache_dir)
+        (cache_dir / "weights_stamp.json").write_text(
+            _weights_fingerprint(path))
     except Exception:
         pass  # read-only checkpoint dirs: conversion still works
     return params

@@ -92,3 +92,23 @@ def test_load_or_convert_caches(clip_dir, rng):
     np.testing.assert_array_equal(
         np.asarray(p1["visual_projection"]["kernel"]),
         np.asarray(p2["visual_projection"]["kernel"]))
+
+
+def test_load_or_convert_stale_cache_reconverts(clip_dir):
+    import os, time
+    from emr2a_tpu.models.checkpoint import load_or_convert
+    from emr2a_tpu.models.convert import convert_hf_clip_image_tower
+    d, model = clip_dir
+    calls = []
+
+    def convert(sd):
+        calls.append(1)
+        return convert_hf_clip_image_tower(sd, num_layers=2)
+
+    load_or_convert(d, convert, cache_name="stale_test")
+    # touch the weights newer than the cache -> must reconvert
+    wt = next(iter(d.glob("*.safetensors")))
+    future = time.time() + 10
+    os.utime(wt, (future, future))
+    load_or_convert(d, convert, cache_name="stale_test")
+    assert len(calls) == 2
