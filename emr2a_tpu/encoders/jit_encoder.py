@@ -97,10 +97,11 @@ class JitImageTextEncoder(BaseEncoder):
     def _bucket_for(self, n: int) -> int:
         b = _bucket(n, self.max_batch)
         if self.mesh is not None:
-            # sharded batches must divide by the data-axis size
+            # sharded batches must divide by the data-axis size (which
+            # need not be a power of two — round up to a multiple)
             from emr2a_tpu.parallel.mesh import DATA_AXIS
             n_shards = self.mesh.shape[DATA_AXIS]
-            b = max(b, n_shards)
+            b = ((max(b, n_shards) + n_shards - 1) // n_shards) * n_shards
         return b
 
     def _shard(self, batch: np.ndarray):
@@ -178,10 +179,13 @@ class JitImageTextEncoder(BaseEncoder):
             raise NotImplementedError(f"{type(self).__name__} is text-less")
         ids, mask = self._tokenize(texts)
         n = len(texts)
-        b = _bucket(n, self.max_batch)
+        b = self._bucket_for(n)
         if b > n:
             ids = np.concatenate([ids, np.tile(ids[-1:], (b - n, 1))])
             if mask is not None:
                 mask = np.concatenate([mask, np.tile(mask[-1:], (b - n, 1))])
+        ids = self._shard(ids)
+        if mask is not None:
+            mask = self._shard(mask)
         feats = np.asarray(self._jit_text(self.params, ids, mask))
         return [feats[i] for i in range(n)]

@@ -139,3 +139,39 @@ def test_mesh_sharded_batch_encoding(rng):
     b = sharded.encode_batch_images(imgs)
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+class _IdTok:
+    """Toy tokenizer staying inside small_clip_config's vocab (64,
+    eos=63): out-of-range ids would NaN the embedding lookup
+    (jnp.take fill mode)."""
+
+    def __call__(self, texts, **kw):
+        n = kw.get("max_length", 8)
+        ids = np.full((len(texts), n), 63, np.int64)
+        for i, t in enumerate(texts):
+            toks = [62] + [ord(c) % 60 for c in t[:n - 2]] + [63]
+            ids[i, :len(toks)] = toks
+        return {"input_ids": ids,
+                "attention_mask": (ids != 63).astype(np.int64)}
+
+
+def test_mesh_sharded_text_encoding(rng):
+    """dp inference for the text path, incl. a non-power-of-two data
+    axis (bucket rounds up to a multiple of the axis size)."""
+    cfg = small_clip_config()
+    single = CLIPEncoder.random_init(cfg, max_batch=16, tokenizer=_IdTok())
+    texts = [f"case {i} ct" for i in range(5)]
+    a = single.encode_batch_texts(texts)
+    assert all(np.isfinite(x).all() for x in a)
+    import jax
+    from jax.sharding import Mesh
+    from emr2a_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    for axis in (8, 6):  # 6: non-power-of-two data axis (bucket round-up)
+        mesh = Mesh(np.array(jax.devices()[:axis]).reshape(axis, 1),
+                    (DATA_AXIS, MODEL_AXIS))
+        sharded = CLIPEncoder.random_init(cfg, max_batch=16,
+                                          tokenizer=_IdTok(), mesh=mesh)
+        b = sharded.encode_batch_texts(texts)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, atol=1e-5)
