@@ -30,3 +30,23 @@ def mesh8():
 @pytest.fixture()
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_configure(config):
+    # assert_allclose treats NaN == NaN as equal by default, which
+    # silently passes symmetric-failure comparisons (both sides NaN,
+    # as happened with an out-of-vocab toy tokenizer).  Reject NaN in
+    # either operand of float comparisons suite-wide.
+    import numpy as _np
+    orig = _np.testing.assert_allclose
+
+    def strict_allclose(actual, desired, *args, **kw):
+        for name, arr in (("actual", actual), ("desired", desired)):
+            a = _np.asarray(arr)
+            if a.dtype.kind == "f" and _np.isnan(a).any():
+                raise AssertionError(
+                    f"assert_allclose: {name} contains NaN "
+                    "(NaN==NaN would otherwise pass silently)")
+        return orig(actual, desired, *args, **kw)
+
+    _np.testing.assert_allclose = strict_allclose
