@@ -253,6 +253,11 @@ class ShardedEmbeddingDatabase:
                     jnp.int32(start))
             self.n = start + new.shape[0]
         else:
+            if self.capacity is not None:
+                # serving mode: grow geometrically so repeated appends
+                # amortize to O(1) rebuilds instead of one per batch
+                self.capacity = max(start + new.shape[0],
+                                    2 * self.capacity)
             self._upload()  # shape changed; kernels recompile lazily
 
     def save(self, path) -> None:

@@ -151,3 +151,23 @@ def test_k_clamped_to_n(mesh8, rng):
     hits = db.search(db0[:1], k=25)
     assert len(hits[0]) == 10  # clamped; no filler candidates
     assert all(h["score"] > -1.0 for h in hits[0])
+
+
+def test_capacity_geometric_growth(mesh8, rng):
+    """Overflowing a capacity-reserved DB grows it geometrically:
+    repeated appends amortize to O(log) rebuilds, retrieval stays
+    exact."""
+    db = ShardedEmbeddingDatabase(
+        rng.randn(16, 32).astype(np.float32), mesh=mesh8, capacity=24)
+    rebuilds = [0]
+    orig = db._upload
+    db._upload = lambda: (rebuilds.__setitem__(0, rebuilds[0] + 1), orig())
+    for _ in range(20):
+        db.add_cases(rng.randn(8, 32).astype(np.float32))
+    assert db.n == 176
+    assert rebuilds[0] <= 4  # was ~19 with fixed capacity
+    q = rng.randn(3, 32).astype(np.float32)
+    _, idx = db.topk(q, 5)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref_idx = np.argsort(-(qn @ db._host_emb.T), axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
