@@ -77,10 +77,48 @@ class ContrastiveTrainer:
         """Shard params per TP rules; optimizer state (adam mu/nu) inherits
         the param shardings through XLA's sharding propagation."""
         shardings = param_shardings(params, self.mesh)
-        params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        # jit (not device_put) so the state owns FRESH buffers: device_put
+        # may alias the caller's arrays, and the donated train step would
+        # then delete them out from under the caller.
+        params = jax.jit(lambda p: p, out_shardings=shardings)(params)
         opt_state = jax.jit(self.optimizer.init)(params)
+        # adam mu/nu inherit the *sharded* param shardings through
+        # propagation, but replicated leaves (biases, scalars) collapse
+        # to single-device — normalize every leaf that doesn't span the
+        # mesh to mesh-replicated, so save/restore round-trips one
+        # coherent device set.
+        rep = NamedSharding(self.mesh, P())
+        n_dev = self.mesh.size
+        opt_state = jax.tree_util.tree_map(
+            lambda x: x if len(x.sharding.device_set) == n_dev
+            else jax.device_put(x, rep),
+            opt_state)
         return TrainState(params=params, opt_state=opt_state,
-                          step=jnp.zeros((), jnp.int32))
+                          step=jax.device_put(jnp.zeros((), jnp.int32), rep))
+
+    # -- checkpoint/resume (full training state, shardings preserved) --
+
+    def save_state(self, state: TrainState, directory) -> None:
+        """Persist params + optimizer moments + step as one Orbax
+        checkpoint (sharded arrays are gathered/written per-host)."""
+        from pathlib import Path
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(Path(directory).absolute(), state)
+        ckptr.wait_until_finished()
+
+    def restore_state(self, template: TrainState, directory) -> TrainState:
+        """Restore into the shardings of ``template`` (build it with
+        ``init_state`` on the current mesh; resume is then exact —
+        adam moments and step included)."""
+        from pathlib import Path
+        import orbax.checkpoint as ocp
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            template)
+        return ocp.StandardCheckpointer().restore(
+            Path(directory).absolute(), abstract)
 
     def make_train_step(self):
         mesh = self.mesh

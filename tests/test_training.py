@@ -113,3 +113,52 @@ def test_remat_train_step(mesh8, rng):
         state, loss = step(state, pixels, ids, None)
         losses.append(float(loss))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_checkpoint_resume_exact(mesh8, rng, tmp_path):
+    """save_state/restore_state resume training exactly: a run
+    interrupted after 2 steps and resumed matches an uninterrupted
+    4-step run (params, adam moments, and step all restored)."""
+    cfg = tiny_config()
+    img_tower = CLIPImageTower(cfg)
+    txt_tower = CLIPTextTower(cfg)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "image": img_tower.init(key, jnp.zeros((1, 32, 32, 3)))["params"],
+        "text": txt_tower.init(key, jnp.zeros((1, 8), jnp.int32))["params"],
+    }
+    mk = lambda: ContrastiveTrainer(
+        image_apply=lambda p, x: img_tower.apply({"params": p["image"]}, x),
+        text_apply=lambda p, ids, mask: txt_tower.apply({"params": p["text"]},
+                                                        ids),
+        mesh=mesh8, learning_rate=1e-3)
+    B = 16
+    pixels = jnp.asarray(rng.randn(B, 32, 32, 3), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, 62, (B, 16)), jnp.int32)
+    ids = ids.at[:, -1].set(63)
+
+    trainer = mk()
+    step_fn = trainer.make_train_step()
+    state = trainer.init_state(params)
+    ref_losses = []
+    for _ in range(4):
+        state, loss = step_fn(state, pixels, ids, None)
+        ref_losses.append(float(loss))
+
+    trainer2 = mk()
+    step2 = trainer2.make_train_step()
+    s2 = trainer2.init_state(params)
+    for _ in range(2):
+        s2, _ = step2(s2, pixels, ids, None)
+    trainer2.save_state(s2, tmp_path / "ckpt")
+
+    trainer3 = mk()
+    step3 = trainer3.make_train_step()
+    template = trainer3.init_state(params)
+    s3 = trainer3.restore_state(template, tmp_path / "ckpt")
+    assert int(s3.step) == 2
+    resumed = []
+    for _ in range(2):
+        s3, loss = step3(s3, pixels, ids, None)
+        resumed.append(float(loss))
+    np.testing.assert_allclose(resumed, ref_losses[2:], rtol=1e-5)
