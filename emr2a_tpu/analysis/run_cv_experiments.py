@@ -49,6 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fusion", default="concat",
                         choices=["concat", "image_only", "text_only", "late"])
     parser.add_argument("--pca_dim", type=int, default=96)
+    parser.add_argument("--cv_folds", type=int, default=5)
     parser.add_argument("--top_k", type=int, default=3)
     parser.add_argument("--w_text", type=float, default=0.5)
     parser.add_argument("--topk_scan", action="store_true")
@@ -77,15 +78,24 @@ def render_clinical_text(record: Dict) -> str:
     """Chinese clinical text from manifest meta
     (run_cv_experiments.py:216-231)."""
     meta = record.get("meta", {})
+
+    def get(*keys):
+        # english keys are canonical (step1 normalizes); zh aliases
+        # accepted for externally-produced manifests
+        for k in keys:
+            if meta.get(k):
+                return meta[k]
+        return None
+
     parts = []
-    if meta.get("sex"):
-        parts.append(f"性别: {meta['sex']}")
-    if meta.get("age"):
-        parts.append(f"年龄: {meta['age']}")
-    if meta.get("fever"):
-        parts.append(f"发烧: {meta['fever']}")
-    if meta.get("symptom"):
-        parts.append(f"症状: {meta['symptom']}")
+    if get("sex", "性别"):
+        parts.append(f"性别: {get('sex', '性别')}")
+    if get("age", "年龄"):
+        parts.append(f"年龄: {get('age', '年龄')}")
+    if get("fever", "发热", "发烧"):
+        parts.append(f"发烧: {get('fever', '发热', '发烧')}")
+    if get("symptom", "症状"):
+        parts.append(f"症状: {get('symptom', '症状')}")
     return "\n".join(parts) if parts else record.get("text", "")
 
 
@@ -246,7 +256,8 @@ def run_experiment(args, config: BaseConfig, experiment_id: str,
 
     logger.info("Patient count: %d", len(patient_ids))
 
-    evaluator = CVRetrievalEvaluator(cv_folds=5, pca_dim=args.pca_dim,
+    evaluator = CVRetrievalEvaluator(cv_folds=args.cv_folds,
+                                     pca_dim=args.pca_dim,
                                      top_k=args.top_k, seed=config.seed)
     results = evaluator.run_cv(
         patient_ids=patient_ids, labels=labels, embeddings=embeddings,

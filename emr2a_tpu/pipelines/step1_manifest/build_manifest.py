@@ -39,6 +39,11 @@ LABEL_DIR_MAP = {
     "Normal": "Normal",
 }
 
+META_KEY_CANON = {
+    "姓名": "name", "性别": "sex", "年龄": "age",
+    "发热": "fever", "发烧": "fever", "症状": "symptom",
+}
+
 CSV_LABEL_MAP = {
     "Bacterial.csv": "Bacterial",
     "Viral.csv": "Viral",
@@ -253,6 +258,13 @@ def align(df: pd.DataFrame, name_col: str, id_col: str, has_id_col: bool,
             meta.pop(key, None)
         if label_col:
             meta.pop(label_col, None)
+        # Canonicalize known zh clinical columns so downstream
+        # consumers (clinical-text rendering, CNN clinical features)
+        # find them.  The reference keeps raw headers in meta
+        # (build_manifest.py:300-311) while its text renderer reads
+        # english keys (run_cv_experiments.py:218-226) — zh-headered
+        # CSVs silently produce zero text embeddings there; fixed here.
+        meta = {META_KEY_CANON.get(k, k): v for k, v in meta.items()}
 
         entry = {
             "patient_id": patient_id or sha1_id(name),

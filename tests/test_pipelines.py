@@ -121,3 +121,30 @@ def test_step2_determinism(synthetic_dataset):
     d2 = np.load(f2 / "embeddings.npz")
     for k in d1.files:
         np.testing.assert_array_equal(d1[k], d2[k])
+
+
+def test_step1_zh_headers_canonicalized(synthetic_dataset, tmp_path):
+    """zh-headered CSVs produce canonical english meta keys, so the
+    clinical-text renderer finds them.  (The reference keeps raw zh
+    headers in meta while its renderer reads english keys — zh CSVs
+    silently yield zero text embeddings there; fixed, see
+    build_manifest META_KEY_CANON.)"""
+    import shutil
+    from emr2a_tpu.analysis.run_cv_experiments import render_clinical_text
+    _, data_root = synthetic_dataset
+    zh_root = tmp_path / "zh_data"
+    shutil.copytree(data_root, zh_root)
+    for csv in (zh_root / "Case_csv").glob("*.csv"):
+        text = csv.read_text(encoding="utf-8")
+        text = text.replace("name,sex,age,fever,symptom",
+                            "姓名,性别,年龄,发热,症状")
+        csv.write_text(text, encoding="utf-8")
+    out = tmp_path / "zh_out"
+    step1.main(["--data_root", str(zh_root), "--out_dir", str(out)])
+    recs = [json.loads(l) for l in
+            (out / "manifest.jsonl").read_text(encoding="utf-8").splitlines()]
+    rec = next(r for r in recs if r["name"] == "bacterial_patient_0")
+    assert rec["meta"] == {"sex": "男", "age": "30", "fever": "有",
+                           "symptom": "咳嗽"}
+    text = render_clinical_text(rec)
+    assert "性别: 男" in text and "症状: 咳嗽" in text
