@@ -22,6 +22,12 @@ BATCH = 256
 N_BATCHES = 8
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -62,20 +68,19 @@ def main() -> None:
     batches = jax.device_put(
         rng.randint(0, 256, (N_BATCHES, BATCH, 224, 224, 3), np.uint8))
 
-    # Warmup (compile) + one timing probe of sync overhead.
+    # Warmup (compile), then best-of-5 (relay jitter only adds time,
+    # so min reflects the chip's actual rate).
     float(embed_chain(params, batches))
-    t0 = time.time()
-    float(embed_chain(params, batches))
-    dt = time.time() - t0
+    dt = min(_timed(lambda: float(embed_chain(params, batches)))
+             for _ in range(5))
 
     # Subtract the relay round-trip measured on an empty jit.
     @jax.jit
     def empty(x):
         return x + 1.0
     float(empty(jnp.float32(0)))
-    t0 = time.time()
-    float(empty(jnp.float32(1)))
-    rtt = time.time() - t0
+    rtt = min(_timed(lambda: float(empty(jnp.float32(i))))
+              for i in range(1, 4))
 
     compute = max(dt - rtt, 1e-6)
     slices_per_sec = N_BATCHES * BATCH / compute
