@@ -39,7 +39,7 @@ def main() -> None:
 
     base = default_biomedclip_config()
     vcfg = ViTConfig(**{**base.vision.__dict__, "dtype": jnp.bfloat16,
-                        "fused_mlp": True})
+                        "fused_mlp": True, "fused_attn": True})
     config = type(base)(vision=vcfg, text=base.text,
                         projection_dim=base.projection_dim,
                         text_proj=base.text_proj)

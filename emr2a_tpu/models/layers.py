@@ -102,13 +102,36 @@ class TransformerBlock(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     fused_mlp: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln1")(x)
-        x = x + MultiHeadAttention(
-            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            dtype=self.dtype, name="attn")(h, mask)
+        # fused_attn covers the LN1+attention+residual half with the
+        # Pallas kernel (ops/attention_block.py); external masks and
+        # biasless QKV fall back to the einsum path.
+        if (self.fused_attn and x.ndim == 3 and mask is None
+                and self.qkv_bias and not self.is_initializing()):
+            from emr2a_tpu.ops.attention_block import fused_ln_attention
+            p = self.variables["params"]
+            pa = p["attn"]
+            x = fused_ln_attention(
+                x, p["ln1"]["scale"].astype(self.dtype),
+                p["ln1"]["bias"].astype(self.dtype),
+                pa["q_proj"]["kernel"].astype(self.dtype),
+                pa["q_proj"]["bias"].astype(self.dtype),
+                pa["k_proj"]["kernel"].astype(self.dtype),
+                pa["k_proj"]["bias"].astype(self.dtype),
+                pa["v_proj"]["kernel"].astype(self.dtype),
+                pa["v_proj"]["bias"].astype(self.dtype),
+                pa["out_proj"]["kernel"].astype(self.dtype),
+                pa["out_proj"]["bias"].astype(self.dtype),
+                num_heads=self.num_heads, eps=self.ln_eps)
+        else:
+            h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                             name="ln1")(x)
+            x = x + MultiHeadAttention(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                dtype=self.dtype, name="attn")(h, mask)
         if self.fused_mlp and x.ndim == 3:
             from emr2a_tpu.ops.mlp import fused_ln_mlp
             ln2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,

@@ -48,6 +48,7 @@ class ViTConfig:
     pooling: str = "mean"             # "cls_ln" (CLIP) | "mean" | "cls" | "none"
     dtype: jnp.dtype = jnp.float32
     fused_mlp: bool = False           # Pallas LN+MLP+residual kernel (TPU)
+    fused_attn: bool = False          # Pallas LN+attention+residual kernel
 
     @property
     def num_patches(self) -> int:
@@ -114,7 +115,7 @@ class VisionTransformer(nn.Module):
                 num_heads=cfg.num_heads, mlp_dim=cfg.mlp_dim,
                 activation=cfg.activation, ln_eps=cfg.ln_eps,
                 dtype=cfg.dtype, fused_mlp=cfg.fused_mlp,
-                name=f"block_{i}")(x)
+                fused_attn=cfg.fused_attn, name=f"block_{i}")(x)
 
         ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="final_ln")
 

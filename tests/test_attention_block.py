@@ -39,3 +39,61 @@ def test_fused_ln_attention_matches_reference(rng, B, S, d, H, hg, bb):
                              interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                atol=2e-5, rtol=1e-4)
+
+
+def _interpret_fused_attn(monkeypatch):
+    import emr2a_tpu.ops.attention_block as ab
+    orig = ab.fused_ln_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+    monkeypatch.setattr(ab, "fused_ln_attention", interp)
+
+
+def test_transformer_block_fused_attn_parity(rng, monkeypatch):
+    """fused_attn=True block output matches the einsum path within
+    bf16 tolerance, with identical params."""
+    import jax
+    import jax.numpy as jnp
+    _interpret_fused_attn(monkeypatch)
+    from emr2a_tpu.models.layers import TransformerBlock
+    x = jnp.asarray(rng.randn(3, 17, 64), jnp.float32)
+    ref_blk = TransformerBlock(num_heads=4, mlp_dim=128)
+    params = ref_blk.init(jax.random.PRNGKey(0), x)["params"]
+    ref = ref_blk.apply({"params": params}, x)
+    fused_blk = TransformerBlock(num_heads=4, mlp_dim=128, fused_attn=True)
+    out = fused_blk.apply({"params": params}, x)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_vit_fused_attn_parity(rng, monkeypatch):
+    """Full ViT tower with fused_attn+fused_mlp matches the default
+    tower on identical params."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    _interpret_fused_attn(monkeypatch)
+    import emr2a_tpu.ops.mlp as mlp_mod
+    orig_mlp = mlp_mod.fused_ln_mlp
+
+    def interp_mlp(*args, **kw):
+        kw["interpret"] = True
+        return orig_mlp(*args, **kw)
+    monkeypatch.setattr(mlp_mod, "fused_ln_mlp", interp_mlp)
+    from emr2a_tpu.models.vit import ViTConfig, VisionTransformer
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64,
+                    num_layers=2, num_heads=4, mlp_dim=128,
+                    pooling="cls_ln", use_pre_layernorm=True,
+                    patch_bias=False)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    ref_m = VisionTransformer(cfg)
+    params = ref_m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = ref_m.apply({"params": params}, x)
+    fused_m = VisionTransformer(dataclasses.replace(
+        cfg, fused_attn=True, fused_mlp=True))
+    out = fused_m.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
