@@ -125,7 +125,7 @@ class TransformerBlock(nn.Module):
                 pa["v_proj"]["bias"].astype(self.dtype),
                 pa["out_proj"]["kernel"].astype(self.dtype),
                 pa["out_proj"]["bias"].astype(self.dtype),
-                num_heads=self.num_heads, eps=self.ln_eps, block_b=2)
+                num_heads=self.num_heads, eps=self.ln_eps, block_b=4)
         else:
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln1")(x)
