@@ -18,8 +18,8 @@ import time
 import numpy as np
 
 BASELINE_SLICES_PER_SEC = 5000.0
-BATCH = 256
-N_BATCHES = 8
+BATCH = 80
+N_BATCHES = 25
 
 
 def _timed(fn) -> float:
