@@ -45,9 +45,11 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[BioMedCLIPConfig] = None, params=None,
                  tokenizer=None, max_batch: int = 256,
-                 context_length: int = 256, mesh=None):
+                 context_length: int = 256, mesh=None, fast: bool = False):
         if config is None:
             config = default_biomedclip_config()
+        if fast:
+            config = _fast_config(config)
         if model_path is not None:
             sd = load_state_dict(Path(model_path))
             params = {
@@ -62,6 +64,8 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
                     tokenizer = None
         if params is None:
             raise ValueError("BioMedCLIPEncoder needs model_path or params")
+        if fast:
+            params = _cast_image_params_bf16(params)
         self.config = config
         self.context_length = context_length
         self._image_tower = BioMedCLIPImageTower(config)
@@ -101,6 +105,27 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
                               truncation=True, return_tensors="np")
         return (enc["input_ids"].astype(np.int32),
                 enc["attention_mask"].astype(np.int32))
+
+
+def _fast_config(config: BioMedCLIPConfig) -> BioMedCLIPConfig:
+    """TPU fast mode: bf16 image tower + fused Pallas LN+attention and
+    LN+MLP kernels (docs/PERF_NOTES.md: 2750 -> 4030 slices/s/chip;
+    embedding cosine vs f32 einsum path >= 0.9999).  TPU-only — the
+    kernels don't lower on CPU."""
+    import dataclasses
+    import jax.numpy as jnp
+    return dataclasses.replace(
+        config,
+        vision=dataclasses.replace(config.vision, dtype=jnp.bfloat16,
+                                   fused_mlp=True, fused_attn=True))
+
+
+def _cast_image_params_bf16(params):
+    import jax
+    import jax.numpy as jnp
+    return {**params, "image": jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params["image"])}
 
 
 # Reference exports the typo'd class name (encoders/__init__.py) — keep

@@ -57,7 +57,8 @@ class CLIPEncoder(JitImageTextEncoder):
 
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[CLIPConfig] = None, params=None,
-                 tokenizer=None, max_batch: int = 256, mesh=None):
+                 tokenizer=None, max_batch: int = 256, mesh=None,
+                 fast: bool = False):
         if model_path is not None:
             mp = Path(model_path)
             with (mp / "config.json").open() as f:
@@ -74,6 +75,11 @@ class CLIPEncoder(JitImageTextEncoder):
                 tokenizer = _load_hf_tokenizer(mp)
         if config is None:
             raise ValueError("CLIPEncoder needs model_path or (config, params)")
+        if fast:
+            from emr2a_tpu.encoders.biomedclip_encoder import (
+                _cast_image_params_bf16, _fast_config)
+            config = _fast_config(config)
+            params = _cast_image_params_bf16(params)
         self.config = config
         self._image_tower = CLIPImageTower(config)
         self._text_tower = CLIPTextTower(config)

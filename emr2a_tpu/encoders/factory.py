@@ -55,12 +55,14 @@ def create_encoder(encoder_type: str, device: str = "tpu",
     if et == "biomedclip":
         return BioMedCLIPEncoder(
             model_path=model_path or kwargs.get("biomedclip_config", {}).get("model_path"),
-            device=device, mesh=kwargs.get("mesh"))
+            device=device, mesh=kwargs.get("mesh"),
+            fast=kwargs.get("fast", False))
 
     if et in _CLIP_ALIASES:
         return CLIPEncoder(
             model_path=model_path or kwargs.get("clip_config", {}).get("model_path"),
-            device=device, mesh=kwargs.get("mesh"))
+            device=device, mesh=kwargs.get("mesh"),
+            fast=kwargs.get("fast", False))
 
     if et in _DINO_ALIASES:
         return DINOEncoder(

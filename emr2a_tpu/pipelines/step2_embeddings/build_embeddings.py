@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard image batches over all devices "
                              "(mesh data axis)")
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 + fused Pallas kernels (TPU only; "
+                             "clip/biomedclip; ~1.5x throughput)")
     return parser
 
 
@@ -106,6 +109,8 @@ def main(argv=None) -> None:
         encoder_kwargs["mesh"] = default_mesh()
         logger.info("Data-parallel encoding over %d devices",
                     encoder_kwargs["mesh"].size)
+    if args.fast:
+        encoder_kwargs["fast"] = True
     encoder = create_encoder(
         encoder_type=args.encoder_type, device=args.device,
         model_path=args.model_path, **encoder_kwargs)
