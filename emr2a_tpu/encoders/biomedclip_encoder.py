@@ -111,7 +111,9 @@ def _fast_config(config: BioMedCLIPConfig) -> BioMedCLIPConfig:
     """TPU fast mode: bf16 image tower + fused Pallas LN+attention and
     LN+MLP kernels (docs/PERF_NOTES.md: 2750 -> 4030 slices/s/chip;
     embedding cosine vs f32 einsum path >= 0.9999).  TPU-only — the
-    kernels don't lower on CPU."""
+    kernels don't lower on CPU — and inference-only: the Pallas
+    kernels define no VJP, so pass einsum-path towers (fast=False)
+    to ContrastiveTrainer."""
     import dataclasses
     import jax.numpy as jnp
     return dataclasses.replace(
