@@ -50,7 +50,7 @@ def create_encoder(encoder_type: str, device: str = "tpu",
             model_name=model_name or kwargs.get("vit_config", {}).get(
                 "model_name", "vit_base_patch16_224"),
             model_path=model_path or kwargs.get("vit_config", {}).get("model_path"),
-            device=device)
+            device=device, fast=kwargs.get("fast", False))
 
     if et == "biomedclip":
         return BioMedCLIPEncoder(

@@ -38,10 +38,17 @@ class ViTEncoder(JitImageTextEncoder):
     def __init__(self, model_name: str = "vit_base_patch16_224",
                  model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[ViTConfig] = None, params=None,
-                 max_batch: int = 256):
+                 max_batch: int = 256, fast: bool = False):
         self.model_name = model_name
         if config is None:
             config = TIMM_VIT_B16
+        if fast:
+            # bf16 + fused Pallas kernels; inference-only, TPU-only
+            # (see encoders/biomedclip_encoder._fast_config)
+            import dataclasses
+            import jax.numpy as jnp
+            config = dataclasses.replace(config, dtype=jnp.bfloat16,
+                                         fused_mlp=True, fused_attn=True)
         self.config = config
         self._tower = VisionTransformer(config)
         if model_path is not None:
@@ -52,6 +59,11 @@ class ViTEncoder(JitImageTextEncoder):
                 jax.random.PRNGKey(0),
                 np.zeros((1, config.image_size, config.image_size, 3),
                          np.float32))["params"]
+        if fast:
+            import jax.numpy as jnp
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
 
         def image_apply(p, pixels):
             return self._tower.apply({"params": p}, pixels)
