@@ -97,3 +97,26 @@ def test_vit_fused_attn_parity(rng, monkeypatch):
     out = fused_m.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize("B,S,D,H", [
+    (1, 5, 32, 2),      # tiny, heavy padding
+    (3, 128, 64, 4),    # S exactly one lane tile
+    (5, 130, 64, 8),    # S just past a tile; B not block_b-multiple
+    (2, 197, 96, 6),    # ViT-ish sequence, head_dim 16
+])
+def test_fused_ln_attention_shape_sweep(rng, monkeypatch, B, S, D, H):
+    """Kernel == einsum reference across padding regimes."""
+    import jax
+    import jax.numpy as jnp
+    _interpret_fused_attn(monkeypatch)
+    from emr2a_tpu.models.layers import TransformerBlock
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    ref_blk = TransformerBlock(num_heads=H, mlp_dim=2 * D)
+    params = ref_blk.init(jax.random.PRNGKey(0), x)["params"]
+    ref = ref_blk.apply({"params": params}, x)
+    out = TransformerBlock(num_heads=H, mlp_dim=2 * D,
+                           fused_attn=True).apply({"params": params}, x)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
