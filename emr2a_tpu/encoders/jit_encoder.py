@@ -73,9 +73,38 @@ class JitImageTextEncoder(BaseEncoder):
         self._jit_image = None
         self._jit_text = None
         if image_apply is not None:
-            self._jit_image = jax.jit(self._image_forward)
+            self._jit_image = jax.jit(self._shard_map(self._image_forward, 4))
         if text_apply is not None:
-            self._jit_text = jax.jit(self._text_forward)
+            self._jit_text = jax.jit(self._shard_map(self._text_forward, 2))
+
+    def _shard_map(self, fn, batch_ndim: int):
+        """With a mesh, run the forward as explicit SPMD over the data
+        axis: each chip computes its batch shard locally.  Required for
+        the Pallas fast path (GSPMD cannot auto-partition pallas_call)
+        and equivalent for the einsum path — forwards are per-sample."""
+        if self.mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        from emr2a_tpu.parallel.mesh import DATA_AXIS
+        batch_spec = P(*((DATA_AXIS,) + (None,) * (batch_ndim - 1)))
+
+        def wrapped(params, *args):
+            present = [a for a in args if a is not None]
+            in_specs = (P(),) + tuple(
+                P(*((DATA_AXIS,) + (None,) * (a.ndim - 1))) for a in present)
+            sm = jax.shard_map(
+                lambda p, *xs: fn(p, *self._reinsert_nones(args, xs)),
+                mesh=self.mesh, in_specs=in_specs,
+                out_specs=P(DATA_AXIS, None), check_vma=False)
+            return sm(params, *present)
+
+        del batch_spec
+        return wrapped
+
+    @staticmethod
+    def _reinsert_nones(template, values):
+        it = iter(values)
+        return tuple(None if t is None else next(it) for t in template)
 
     # -- device functions --
 
