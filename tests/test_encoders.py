@@ -175,3 +175,42 @@ def test_mesh_sharded_text_encoding(rng):
         b = sharded.encode_batch_texts(texts)
         for x, y in zip(a, b):
             np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+def test_mesh_sharded_text_with_mask(rng):
+    """BERT text path (attention_mask present) through the shard_map
+    dp wrapper: sharded == single-device."""
+    from emr2a_tpu.parallel.mesh import create_mesh
+    from emr2a_tpu.encoders import BioMedCLIPEncoder
+    from emr2a_tpu.models.clip import BioMedCLIPConfig
+    from emr2a_tpu.models.text import BertConfig
+    from emr2a_tpu.models.vit import ViTConfig
+
+    class _BertTok:
+        def __call__(self, texts, **kw):
+            n = kw.get("max_length", 16)
+            ids = np.zeros((len(texts), n), np.int64)
+            for i, t in enumerate(texts):
+                toks = [2] + [3 + (ord(c) % 60) for c in t[:n - 2]] + [1]
+                ids[i, :len(toks)] = toks
+            return {"input_ids": ids,
+                    "attention_mask": (ids != 0).astype(np.int64)}
+
+    cfg = BioMedCLIPConfig(
+        vision=ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                         num_layers=2, num_heads=2, mlp_dim=64,
+                         pooling="cls"),
+        text=BertConfig(vocab_size=64, max_length=16, hidden_size=32,
+                        num_layers=2, num_heads=2, mlp_dim=64),
+        projection_dim=16, text_proj="mlp")
+    single = BioMedCLIPEncoder.random_init(cfg, tokenizer=_BertTok(),
+                                           context_length=16)
+    texts = [f"case {i}" for i in range(5)]
+    a = single.encode_batch_texts(texts)
+    assert all(np.isfinite(x).all() for x in a)
+    mesh = create_mesh((8, 1))
+    sharded = BioMedCLIPEncoder.random_init(cfg, tokenizer=_BertTok(),
+                                            context_length=16, mesh=mesh)
+    b = sharded.encode_batch_texts(texts)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-5)
