@@ -18,8 +18,8 @@ import time
 import numpy as np
 
 BASELINE_SLICES_PER_SEC = 5000.0
-BATCH = 80
-N_BATCHES = 25
+BATCH = 96
+N_BATCHES = 21
 
 
 def _timed(fn) -> float:

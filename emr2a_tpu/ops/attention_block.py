@@ -30,7 +30,8 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
                        bv_ref, bo_ref, s_ref, b_ref, o_ref,
                        wq_ref, wk_ref, wv_ref, wo_ref, logits_ref, sems, *,
                        eps: float, num_heads: int, head_dim: int,
-                       valid_len: int, head_group: int, block_b: int):
+                       valid_len: int, head_group: int, block_b: int,
+                       sq: int):
     @pl.when(pl.program_id(0) == 0)
     def _load_weights():
         dmas = [pltpu.make_async_copy(src, dst, sems.at[i]) for i, (src, dst)
@@ -44,7 +45,10 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
     sp = x_ref.shape[1]
     scale = head_dim ** -0.5
     n_groups = num_heads // head_group
-    col = jax.lax.broadcasted_iota(jnp.int32, (head_group * sp, sp), 1)
+    # Query rows run at sq (8-aligned, >= valid_len); only the key axis
+    # needs lane (128) alignment, so q-side work skips the tail padding
+    # (S=197: 200 q-rows vs 256 keys — ~22% less on five stages).
+    col = jax.lax.broadcasted_iota(jnp.int32, (head_group * sq, sp), 1)
 
     for bi in range(block_b):
         x = x_ref[bi, :, :]
@@ -61,7 +65,15 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
                 preferred_element_type=jnp.float32)
             return (y + bias_ref[0, :].astype(jnp.float32)).astype(x.dtype)
 
-        q = proj(wq_ref, bq_ref)
+        hq = h[0:sq, :]
+
+        def projq(w_ref, bias_ref):
+            y = jax.lax.dot_general(
+                hq, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return (y + bias_ref[0, :].astype(jnp.float32)).astype(x.dtype)
+
+        q = projq(wq_ref, bq_ref)
         k = proj(wk_ref, bk_ref)
         v = proj(wv_ref, bv_ref)
 
@@ -69,7 +81,7 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
         for g in range(n_groups):
             for j in range(head_group):
                 hd = (g * head_group + j) * head_dim
-                logits_ref[pl.ds(j * sp, sp), :] = jax.lax.dot_general(
+                logits_ref[pl.ds(j * sq, sq), :] = jax.lax.dot_general(
                     q[:, hd:hd + head_dim], k[:, hd:hd + head_dim],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
@@ -80,7 +92,7 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
             for j in range(head_group):
                 hd = (g * head_group + j) * head_dim
                 attn_cols.append(jax.lax.dot_general(
-                    probs[j * sp:(j + 1) * sp, :], v[:, hd:hd + head_dim],
+                    probs[j * sq:(j + 1) * sq, :], v[:, hd:hd + head_dim],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(x.dtype))
         attn = jnp.concatenate(attn_cols, axis=1)
@@ -89,7 +101,7 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
             attn, wo_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         y = y + bo_ref[0, :].astype(jnp.float32)
-        o_ref[bi, :, :] = x + y.astype(x.dtype)
+        o_ref[bi, pl.ds(0, sq), :] = x[0:sq, :] + y.astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -109,6 +121,7 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
                           if num_heads % g == 0)
     head_dim = d // num_heads
     sp = -(-S // 128) * 128
+    sq = min(-(-S // 8) * 8, sp)  # q-rows: 8-aligned is enough
     b_pad = (-B) % block_b
     xp = jnp.pad(x, [(0, b_pad), (0, sp - S), (0, 0)])
     row = lambda v: v.reshape(1, -1)
@@ -121,7 +134,7 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
         functools.partial(
             _attn_block_kernel, eps=eps, num_heads=num_heads,
             head_dim=head_dim, valid_len=S, head_group=head_group,
-            block_b=block_b),
+            block_b=block_b, sq=sq),
         grid=((B + b_pad) // block_b,),
         in_specs=[xspec, hbm, hbm, hbm, hbm, vec, vec, vec, vec, vec, vec],
         out_specs=xspec,
@@ -129,12 +142,13 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
         scratch_shapes=[
             pltpu.VMEM((d, d), wq.dtype), pltpu.VMEM((d, d), wk.dtype),
             pltpu.VMEM((d, d), wv.dtype), pltpu.VMEM((d, d), wo.dtype),
-            pltpu.VMEM((head_group * sp, sp), jnp.float32),
+            pltpu.VMEM((head_group * sq, sp), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=B * (8 * sp * d * d + 4 * sp * sp * d),
+            flops=B * ((2 * sq + 4 * sp + 2 * sq) * d * d
+                       + 4 * sq * sp * d),
             bytes_accessed=(2 * B * sp * d + 4 * d * d) * x.dtype.itemsize,
             transcendentals=B * num_heads * sp * sp,
         ),
