@@ -109,7 +109,7 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
 
 def _fast_config(config: BioMedCLIPConfig) -> BioMedCLIPConfig:
     """TPU fast mode: bf16 image tower + fused Pallas LN+attention and
-    LN+MLP kernels (docs/PERF_NOTES.md: 2750 -> 4030 slices/s/chip;
+    LN+MLP kernels (docs/PERF_NOTES.md: 2750 -> 4345 slices/s/chip;
     embedding cosine vs f32 einsum path >= 0.9999).  TPU-only — the
     kernels don't lower on CPU — and inference-only: the Pallas
     kernels define no VJP, so pass einsum-path towers (fast=False)
