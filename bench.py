@@ -6,7 +6,8 @@ slices/sec/chip on the BASELINE.json target of >= 5000.
 Methodology: the device sync through the axon relay costs ~30 ms RTT,
 so the batch loop runs INSIDE one jit (lax.scan over batches) with a
 single scalar readback; wall time is measured around that one call
-after a warmup compile.  bf16 params/compute, batch 256.
+after a warmup compile.  bf16 params/compute, batch = BATCH below
+(tuned on the round-1 chip; see docs/PERF_NOTES.md).
 """
 
 from __future__ import annotations

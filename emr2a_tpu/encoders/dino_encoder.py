@@ -49,7 +49,7 @@ class DINOEncoder(JitImageTextEncoder):
 
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[DINOv3Config] = None, params=None,
-                 max_batch: int = 128):
+                 max_batch: int = 128, fast: bool = False, mesh=None):
         if model_path is not None:
             mp = Path(model_path)
             cfg_file = mp / "config.json"
@@ -61,6 +61,12 @@ class DINOEncoder(JitImageTextEncoder):
             params = convert_hf_dinov3(sd, config.num_layers)
         if config is None:
             config = DINOV3_VITL16
+        if fast:
+            # bf16 params/compute; DINOv3's RoPE+LayerScale blocks have
+            # no Pallas fused path, so fast here is the dtype cut only.
+            import dataclasses
+            import jax.numpy as jnp
+            config = dataclasses.replace(config, dtype=jnp.bfloat16)
         self.config = config
         self._tower = DINOv3ViT(config, pooling="mean_all")
         if params is None:
@@ -68,6 +74,11 @@ class DINOEncoder(JitImageTextEncoder):
                 jax.random.PRNGKey(0),
                 np.zeros((1, config.image_size, config.image_size, 3),
                          np.float32))["params"]
+        if fast:
+            import jax.numpy as jnp
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
 
         def image_apply(p, pixels):
             return self._tower.apply({"params": p}, pixels)
@@ -76,7 +87,7 @@ class DINOEncoder(JitImageTextEncoder):
             params=params, image_apply=image_apply, text_apply=None,
             tokenize=None, preprocess=DINOV3_PREPROCESS,
             normalize=True,  # dino_encoder.py:56-57 L2-normalizes
-            max_batch=max_batch, device=device)
+            max_batch=max_batch, device=device, mesh=mesh)
 
     def encode_batch_texts(self, texts: List[str]):
         # Reference returns None for text (dino_encoder.py:62-64).

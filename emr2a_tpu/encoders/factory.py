@@ -8,6 +8,7 @@ the reference's do, including the per-family kwarg plumbing
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from emr2a_tpu.encoders.base import BaseEncoder
@@ -27,15 +28,34 @@ SUPPORTED_TYPES = sorted(
     | {"vit", "biomedclip", "fake"})
 
 
+logger = logging.getLogger(__name__)
+
+
+def _reject_unsupported(et: str, kwargs: dict, *names: str) -> None:
+    """Requested capabilities an encoder family lacks must fail loudly:
+    silently absorbing ``mesh``/``fast`` makes ``--data_parallel`` a
+    single-device run while logging the opposite (round-1 advisor
+    finding)."""
+    for name in names:
+        if kwargs.get(name):
+            raise ValueError(
+                f"encoder type {et!r} does not support {name!r} "
+                f"(--data_parallel/--fast); drop the flag or pick a "
+                f"supporting encoder (clip/biomedclip/vit/dino)")
+
+
 def create_encoder(encoder_type: str, device: str = "tpu",
                    model_path: Optional[str] = None,
                    model_name: Optional[str] = None, **kwargs) -> BaseEncoder:
     et = encoder_type.lower()
 
     if et == "fake":
+        if kwargs.get("mesh") or kwargs.get("fast"):
+            logger.warning("fake encoder runs host-side; mesh/fast ignored")
         return FakeEncoder(dim=kwargs.get("dim", 64), device=device)
 
     if et in _QWEN_8B_ALIASES or et in _QWEN_2B_ALIASES:
+        _reject_unsupported(et, kwargs, "mesh", "fast")
         from emr2a_tpu.encoders.qwen3_vl_encoder import Qwen3VLEncoder
         cfg_key = "qwen3_vl_2b_config" if et in _QWEN_2B_ALIASES else "qwen3_vl_8b_config"
         default_path = kwargs.get(cfg_key, {}).get("model_path")
@@ -50,7 +70,8 @@ def create_encoder(encoder_type: str, device: str = "tpu",
             model_name=model_name or kwargs.get("vit_config", {}).get(
                 "model_name", "vit_base_patch16_224"),
             model_path=model_path or kwargs.get("vit_config", {}).get("model_path"),
-            device=device, fast=kwargs.get("fast", False))
+            device=device, mesh=kwargs.get("mesh"),
+            fast=kwargs.get("fast", False))
 
     if et == "biomedclip":
         return BioMedCLIPEncoder(
@@ -67,7 +88,8 @@ def create_encoder(encoder_type: str, device: str = "tpu",
     if et in _DINO_ALIASES:
         return DINOEncoder(
             model_path=model_path or kwargs.get("dino_config", {}).get("model_path"),
-            device=device)
+            device=device, mesh=kwargs.get("mesh"),
+            fast=kwargs.get("fast", False))
 
     raise ValueError(
         f"Unsupported encoder type: {encoder_type}. "

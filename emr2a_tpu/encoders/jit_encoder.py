@@ -9,7 +9,9 @@ Responsibilities:
 - optional final L2 norm on device (CLIP/BioMedCLIP/DINO semantics),
 - donate nothing, cache compiled buckets.
 
-Text path mirrors it with token-length buckets.
+Text path mirrors the image path: tokenization pads to one fixed
+length, and batches are chunked to ``max_batch`` with batch-size
+bucketing (so compiles stay bounded even for large corpora).
 """
 
 from __future__ import annotations
@@ -206,15 +208,26 @@ class JitImageTextEncoder(BaseEncoder):
     def encode_batch_texts(self, texts: List[str]) -> List[Optional[np.ndarray]]:
         if self._jit_text is None or self._tokenize is None:
             raise NotImplementedError(f"{type(self).__name__} is text-less")
+        if not texts:
+            return []
         ids, mask = self._tokenize(texts)
-        n = len(texts)
-        b = self._bucket_for(n)
-        if b > n:
-            ids = np.concatenate([ids, np.tile(ids[-1:], (b - n, 1))])
-            if mask is not None:
-                mask = np.concatenate([mask, np.tile(mask[-1:], (b - n, 1))])
-        ids = self._shard(ids)
-        if mask is not None:
-            mask = self._shard(mask)
-        feats = np.asarray(self._jit_text(self.params, ids, mask))
-        return [feats[i] for i in range(n)]
+        out: List[Optional[np.ndarray]] = []
+        # Chunk to max_batch like the image path: one bounded compile
+        # per bucket size, and sharded batches keep dividing the mesh
+        # data axis.
+        for start in range(0, len(texts), self.max_batch):
+            cids = ids[start:start + self.max_batch]
+            cmask = mask[start:start + self.max_batch] if mask is not None else None
+            n = cids.shape[0]
+            b = self._bucket_for(n)
+            if b > n:
+                cids = np.concatenate([cids, np.tile(cids[-1:], (b - n, 1))])
+                if cmask is not None:
+                    cmask = np.concatenate(
+                        [cmask, np.tile(cmask[-1:], (b - n, 1))])
+            cids = self._shard(cids)
+            if cmask is not None:
+                cmask = self._shard(cmask)
+            feats = np.asarray(self._jit_text(self.params, cids, cmask))
+            out.extend(feats[i] for i in range(n))
+        return out

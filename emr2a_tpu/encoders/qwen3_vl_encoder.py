@@ -69,12 +69,14 @@ class Qwen3VLEncoder(BaseEncoder):
             config = qwen3_vl_config_from_hf(hf_cfg)
             from emr2a_tpu.models.checkpoint import (
                 load_or_convert, load_state_dict)
-            convert = lambda sd: convert_hf_qwen3_vl(
-                sd, config.vision.depth, config.text.num_layers)
+            def convert_qwen3_vl(sd):
+                return convert_hf_qwen3_vl(
+                    sd, config.vision.depth, config.text.num_layers)
+
             if cache_params:
-                params = load_or_convert(mp, convert)
+                params = load_or_convert(mp, convert_qwen3_vl)
             else:
-                params = convert(load_state_dict(mp))
+                params = convert_qwen3_vl(load_state_dict(mp))
             if tokenizer is None:
                 try:
                     from transformers import AutoTokenizer

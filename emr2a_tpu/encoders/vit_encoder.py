@@ -38,7 +38,7 @@ class ViTEncoder(JitImageTextEncoder):
     def __init__(self, model_name: str = "vit_base_patch16_224",
                  model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[ViTConfig] = None, params=None,
-                 max_batch: int = 256, fast: bool = False):
+                 max_batch: int = 256, fast: bool = False, mesh=None):
         self.model_name = model_name
         if config is None:
             config = TIMM_VIT_B16
@@ -83,7 +83,7 @@ class ViTEncoder(JitImageTextEncoder):
             params=params, image_apply=image_apply, text_apply=None,
             tokenize=None, preprocess=spec,
             normalize=False,  # reference ViT features are un-normalized
-            max_batch=max_batch, device=device)
+            max_batch=max_batch, device=device, mesh=mesh)
 
     def encode_batch_texts(self, texts: List[str]):
         raise NotImplementedError("ViT encoder does not support text encoding")

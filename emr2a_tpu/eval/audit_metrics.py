@@ -49,7 +49,7 @@ class SelectivePredictionMetrics:
         self.accuracy_curve = accuracy.tolist()
         self.thresholds = acceptance[order].tolist()
         risks = 1.0 - accuracy
-        self.aurc = float(np.trapz(risks, coverage))
+        self.aurc = float(np.trapezoid(risks, coverage))
         return {
             "coverage_curve": self.coverage_curve,
             "accuracy_curve": self.accuracy_curve,

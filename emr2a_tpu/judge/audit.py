@@ -30,19 +30,20 @@ logger = logging.getLogger(__name__)
 
 def select_even_slices(slice_paths: Sequence[str], num_slices: int = 4
                        ) -> List[str]:
-    """Evenly spaced, de-duplicated slice selection
-    (vlm_audit_module.py:157-172)."""
-    if not slice_paths or num_slices <= 0:
+    """Evenly spaced slice subset, order-preserving and de-duplicated.
+
+    Capability parity with the reference's even-spacing selection
+    (vlm_audit_module.py:157-172): ``num_slices`` indices spread over
+    [0, n-1] inclusive of both ends.
+    """
+    n = len(slice_paths)
+    if n == 0 or num_slices <= 0:
         return []
-    if len(slice_paths) <= num_slices:
+    if n <= num_slices:
         return list(slice_paths)
-    indices = np.linspace(0, len(slice_paths) - 1, num=num_slices, dtype=int)
-    selected: List[str] = []
-    for idx in indices:
-        path = slice_paths[int(idx)]
-        if path not in selected:
-            selected.append(path)
-    return selected
+    picks = (slice_paths[int(i * (n - 1) / (num_slices - 1))]
+             for i in range(num_slices))
+    return list(dict.fromkeys(picks))
 
 
 def create_montage(slice_paths: Sequence[str],
@@ -50,36 +51,43 @@ def create_montage(slice_paths: Sequence[str],
                    grid_size: Tuple[int, int] = (2, 2),
                    label: Optional[str] = None,
                    base_dir: Optional[Path] = None) -> Optional[Image.Image]:
-    """2x2 grid montage with optional red label overlay
-    (vlm_audit_module.py:93-155)."""
-    if not slice_paths:
+    """Tile slices into a cols x rows evidence grid, optionally labeled.
+
+    Same artifact role as the reference's montage builder
+    (vlm_audit_module.py:93-155); assembled as one numpy block instead
+    of sequential pastes, and mismatched slice sizes are resized to the
+    first slice's size (the reference pastes them unresized, silently
+    corrupting the grid — deliberate fix, vlm_audit_module.py:130-137).
+    """
+    tiles: List[np.ndarray] = []
+    for p in slice_paths:
+        full = _resolve(str(p), base_dir)
+        try:
+            with Image.open(full) as img:
+                tiles.append(np.asarray(img.convert("RGB")))
+        except OSError as e:
+            logger.warning("Skipping unreadable slice %s: %s", full, e)
+    if not tiles:
         return None
     try:
-        images = []
-        for path in slice_paths:
-            full = Path(path)
-            if not full.is_absolute() and base_dir:
-                full = base_dir / path
-            if not full.exists():
-                logger.warning("Image not found: %s", full)
-                continue
-            images.append(Image.open(full).convert("RGB"))
-        if not images:
-            return None
-
-        w, h = images[0].size
         cols, rows = grid_size
-        montage = Image.new("RGB", (w * cols, h * rows), (255, 255, 255))
-        for idx, img in enumerate(images[:cols * rows]):
-            montage.paste(img, ((idx % cols) * w, (idx // cols) * h))
+        h, w = tiles[0].shape[:2]
+        cells = [t if t.shape[:2] == (h, w)
+                 else np.asarray(Image.fromarray(t).resize((w, h)))
+                 for t in tiles[:cols * rows]]
+        blank = np.full((h, w, 3), 255, np.uint8)
+        cells += [blank] * (cols * rows - len(cells))
+        grid = np.asarray(cells).reshape(rows, cols, h, w, 3)
+        montage = Image.fromarray(
+            grid.transpose(0, 2, 1, 3, 4).reshape(rows * h, cols * w, 3))
 
         if label:
-            draw = ImageDraw.Draw(montage)
-            try:
-                font = ImageFont.truetype("arial.ttf", 20)
-            except Exception:
-                font = ImageFont.load_default()
-            draw.text((10, 10), label, fill=(255, 0, 0), font=font)
+            # margin scales with the grid so the tag stays legible on
+            # any slice resolution
+            margin = max(8, h // 48)
+            ImageDraw.Draw(montage).text(
+                (margin, margin), label, fill=(255, 0, 0),
+                font=_montage_font(max(16, h // 24)))
 
         if output_path:
             output_path = Path(output_path)
@@ -89,6 +97,13 @@ def create_montage(slice_paths: Sequence[str],
     except Exception as e:
         logger.error("Failed to create montage: %s", e)
         return None
+
+
+def _montage_font(size: int):
+    try:
+        return ImageFont.load_default(size=size)
+    except Exception:
+        return ImageFont.load_default()
 
 
 def _resolve(path: str, base_dir: Optional[Path]) -> Path:
@@ -301,7 +316,11 @@ class VLMAuditModule:
                 final_predictions.append("NEEDS_REVIEW")
                 needs_human_review.append(True)
 
-        review_ratio = sum(needs_human_review) / len(needs_human_review)
+        # Empty batches (e.g. every sampled case missing from the
+        # manifest) must degrade, not crash — skip-and-continue
+        # semantics (SURVEY §5 failure detection).
+        review_ratio = (sum(needs_human_review) / len(needs_human_review)
+                        if needs_human_review else 0.0)
         result = {
             "final_predictions": final_predictions,
             "needs_human_review": needs_human_review,

@@ -46,8 +46,11 @@ class QwenVLBackend:
             # converted-params cache beside the checkpoint: the 8B
             # judge's torch.load + convert costs minutes, Orbax restore
             # does not (models/checkpoint.py load_or_convert)
-            params = load_or_convert(mp, lambda sd: convert_hf_qwen3_vl(
-                sd, config.vision.depth, config.text.num_layers))
+            def convert_qwen3_vl(sd):
+                return convert_hf_qwen3_vl(
+                    sd, config.vision.depth, config.text.num_layers)
+
+            params = load_or_convert(mp, convert_qwen3_vl)
         if tokenizer is None and model_path is not None:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(str(model_path))

@@ -109,11 +109,13 @@ def load_or_convert(model_path, convert_fn, cache_name: str = "emr2a_flax"):
     torch entirely (matters for the 8B judge, where torch.load alone
     costs minutes).
 
-    convert_fn(state_dict) -> flax params; cache key is the function's
-    name + cache_name under <model_path>/<cache_name>/.
+    convert_fn(state_dict) -> flax params; the cache directory name
+    includes the converter's name, so two converters pointed at the
+    same checkpoint dir never reuse each other's params.
     """
     path = Path(model_path)
-    cache_dir = path / f"{cache_name}.orbax"
+    fn_name = getattr(convert_fn, "__name__", "convert")
+    cache_dir = path / f"{cache_name}.{fn_name}.orbax"
     if cache_dir.exists() and not _cache_stale(path, cache_dir):
         try:
             return restore_params(cache_dir)

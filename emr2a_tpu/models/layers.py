@@ -107,11 +107,18 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         # fused_attn covers the LN1+attention+residual half with the
-        # Pallas kernel (ops/attention_block.py); external masks and
-        # biasless QKV fall back to the einsum path.
+        # Pallas kernel (ops/attention_block.py); external masks,
+        # biasless QKV, and shapes whose kernel buffers exceed the VMEM
+        # budget (e.g. ViT-L/336) fall back to the einsum path.
+        fused_params = None
         if (self.fused_attn and x.ndim == 3 and mask is None
                 and self.qkv_bias and not self.is_initializing()):
+            from emr2a_tpu.ops.attention_block import pick_fused_attn_params
+            fused_params = pick_fused_attn_params(
+                x.shape[-1], x.shape[1], self.num_heads)
+        if fused_params is not None:
             from emr2a_tpu.ops.attention_block import fused_ln_attention
+            block_b, head_group = fused_params
             p = self.variables["params"]
             pa = p["attn"]
             x = fused_ln_attention(
@@ -125,7 +132,8 @@ class TransformerBlock(nn.Module):
                 pa["v_proj"]["bias"].astype(self.dtype),
                 pa["out_proj"]["kernel"].astype(self.dtype),
                 pa["out_proj"]["bias"].astype(self.dtype),
-                num_heads=self.num_heads, eps=self.ln_eps, block_b=4)
+                num_heads=self.num_heads, eps=self.ln_eps,
+                head_group=head_group, block_b=block_b)
         else:
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln1")(x)

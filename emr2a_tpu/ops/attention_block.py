@@ -25,6 +25,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(-1e30)
 
+# Working VMEM budget for kernel parameter selection: ~16 MB/core
+# physically, minus headroom for Mosaic's own buffers.
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def _divisor_at_most(n: int, cap: int) -> int:
+    return next(g for g in range(min(cap, n), 0, -1) if n % g == 0)
+
+
+def fused_attn_vmem_bytes(d: int, S: int, num_heads: int, head_group: int,
+                          block_b: int, itemsize: int = 2) -> int:
+    """VMEM estimate for one grid step: 4 d×d weight copies, the
+    double-buffered in/out batch tiles, and the f32 logits scratch."""
+    sp = -(-S // 128) * 128
+    sq = min(-(-S // 8) * 8, sp)
+    hg = _divisor_at_most(num_heads, head_group)
+    weights = 4 * d * d * itemsize
+    tiles = 4 * block_b * sp * d * itemsize  # in+out, each double-buffered
+    logits = hg * sq * sp * 4
+    return weights + tiles + logits
+
+
+def pick_fused_attn_params(d: int, S: int, num_heads: int,
+                           budget: int = VMEM_BUDGET_BYTES):
+    """Largest (block_b, head_group) fitting the VMEM budget, preferring
+    batch blocking (more MXU work per grid step) over softmax grouping.
+    Returns None when even the minimal configuration exceeds VMEM — the
+    caller should use the unfused einsum path then (e.g. very large
+    hidden/seq combinations)."""
+    for block_b in (4, 2, 1):
+        for head_group in (6, 4, 3, 2, 1):
+            hg = _divisor_at_most(num_heads, head_group)
+            if fused_attn_vmem_bytes(d, S, num_heads, hg, block_b) <= budget:
+                return block_b, hg
+    return None
+
 
 def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
                        bv_ref, bo_ref, s_ref, b_ref, o_ref,
@@ -128,7 +164,7 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
 
     xspec = pl.BlockSpec((block_b, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(

@@ -89,9 +89,9 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w1 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # w1 stays in HBM
             const((1, m)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w2 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # w2 stays in HBM
             const((1, d)), const((1, d)), const((1, d)),
         ],
         out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),

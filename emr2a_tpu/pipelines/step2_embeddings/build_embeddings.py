@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "(mesh data axis)")
     parser.add_argument("--fast", action="store_true",
                         help="bf16 + fused Pallas kernels (TPU only; "
-                             "clip/biomedclip; ~1.5x throughput)")
+                             "clip/biomedclip/vit, bf16-only for dino; "
+                             "~1.5x throughput)")
     return parser
 
 

@@ -99,6 +99,54 @@ def test_vit_fused_attn_parity(rng, monkeypatch):
                                atol=5e-3, rtol=5e-3)
 
 
+def test_pick_fused_attn_params_budget():
+    """Kernel parameters scale down with shape instead of blowing VMEM
+    (round-1 advisor: block_b=4 at ViT-L/336 shapes is ~25 MB)."""
+    from emr2a_tpu.ops.attention_block import (
+        fused_attn_vmem_bytes, pick_fused_attn_params)
+    # ViT-B/16 keeps the tuned round-1 configuration.
+    assert pick_fused_attn_params(768, 197, 12) == (4, 6)
+    # ViT-L/336 (d=1024, S=577): whatever is picked must fit the budget,
+    # and must be smaller than the ViT-B config.
+    picked = pick_fused_attn_params(1024, 577, 16)
+    if picked is not None:
+        bb, hg = picked
+        assert fused_attn_vmem_bytes(1024, 577, 16, hg, bb) <= 14 * 2 ** 20
+        assert (bb, hg) < (4, 6)
+    # An absurd shape must fall back rather than compile a VMEM bomb.
+    assert pick_fused_attn_params(8192, 4096, 64) is None
+
+
+def test_fused_ln_attention_vitl_geometry(rng):
+    """Kernel numerics at ViT-L/336 dims (d=1024, S=577, 16 heads) with
+    the minimal VMEM configuration (advisor round 1)."""
+    B, S, d, H = 1, 577, 1024, 16
+    x = jnp.asarray(rng.randn(B, S, d) * 0.5, jnp.float32)
+    mk = lambda *sh: jnp.asarray(rng.randn(*sh) * 0.02, jnp.float32)
+    wq, wk, wv, wo = mk(d, d), mk(d, d), mk(d, d), mk(d, d)
+    bq, bk, bv, bo = mk(d), mk(d), mk(d), mk(d)
+    s = jnp.asarray(rng.rand(d) + 0.5, jnp.float32)
+    b = mk(d)
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    h = (x - mu) * jax.lax.rsqrt(var + 1e-6) * s + b
+    hd = d // H
+    qh = (h @ wq + bq).reshape(B, S, H, hd)
+    kh = (h @ wk + bk).reshape(B, S, H, hd)
+    vh = (h @ wv + bv).reshape(B, S, H, hd)
+    probs = jax.nn.softmax(
+        jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * hd ** -0.5, -1)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(B, S, d)
+    expected = x + (attn @ wo + bo)
+
+    got = fused_ln_attention(x, s, b, wq, bq, wk, bk, wv, bv, wo, bo,
+                             num_heads=H, head_group=1, block_b=1,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=5e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("B,S,D,H", [
     (1, 5, 32, 2),      # tiny, heavy padding
     (3, 128, 64, 4),    # S exactly one lane tile

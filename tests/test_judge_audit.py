@@ -38,6 +38,10 @@ def cohort(tmp_path, rng):
     save_manifest(records, manifest_path)
 
     # Fold metrics: each test query's neighbors are other patients.
+    # Even-indexed queries get a majority of same-label neighbors
+    # (retrieval vote correct), odd-indexed a wrong-label majority —
+    # the downstream error-detection AUROC needs both classes to be
+    # non-degenerate (reference audit_metrics.py:112-185).
     exp_dir = tmp_path / "exp"
     pids = [r["patient_id"] for r in records]
     labs = {r["patient_id"]: r["label"] for r in records}
@@ -45,13 +49,18 @@ def cohort(tmp_path, rng):
         fold_dir = exp_dir / f"fold_{fold}"
         fold_dir.mkdir(parents=True)
         test_ids = pids[(fold - 1) * 4:fold * 4]
+        top_ids = []
+        for i in range(4):
+            g = (fold - 1) * 4 + i
+            same = [pids[(g + 4) % 20], pids[(g + 8) % 20]]    # own label
+            other = [pids[(g + 1) % 20], pids[(g + 5) % 20]]   # next label
+            top_ids.append(same + other[:1] if i % 2 == 0
+                           else other + same[:1])
         m = {
-            "all_top_labels": [[labs[pids[(i + j + 1) % 20]] for j in range(3)]
-                               for i in range(4)],
+            "all_top_labels": [[labs[p] for p in row] for row in top_ids],
             "all_top_scores": [[0.9 - 0.1 * j for j in range(3)]
                                for _ in range(4)],
-            "all_top_patient_ids": [[pids[(i + j + 1) % 20] for j in range(3)]
-                                    for i in range(4)],
+            "all_top_patient_ids": top_ids,
             "test_patient_ids": test_ids,
         }
         (fold_dir / "metrics.json").write_text(json.dumps(m))
@@ -107,6 +116,7 @@ def test_audit_batch_with_failures(cohort, tmp_path):
     assert final["accuracy_on_accepted"] == 1.0
 
 
+@pytest.mark.filterwarnings("error::sklearn.exceptions.UndefinedMetricWarning")
 def test_step4_pipeline_end_to_end(cohort, tmp_path):
     root, manifest_path, exp_dir, records = cohort
     backend = FakeVLMBackend(script=[
@@ -127,7 +137,13 @@ def test_step4_pipeline_end_to_end(cohort, tmp_path):
             "cited_neighbors", "rationale",
             "needs_human_review"} <= set(details[0])
     assert "aurc" in results["metrics"]["selective_prediction"]
-    assert "auroc" in results["metrics"]["error_detection"]
+    # the cohort mixes correct and incorrect retrieval votes, so the
+    # error-detection AUROC is computed over both classes (not the 0.5
+    # single-class fallback)
+    ed = results["metrics"]["error_detection"]
+    assert np.isfinite(ed["auroc"]) and 0.0 <= ed["auroc"] <= 1.0
+    corr = [d["retrieval_correct"] for d in details]
+    assert any(corr) and not all(corr)
     assert results["audit_summary"]["accept_count"] == 5
     assert results["audit_summary"]["reject_count"] == 5
     # seeded sampling is deterministic
