@@ -171,7 +171,8 @@ def evaluate_fold(variables, eval_step, data, batch_size: int):
 
 
 def run_fold(fold_idx, train_records, test_records, model_type, args,
-             label_to_idx, scaler, rng_seed: int = 0):
+             label_to_idx, scaler, rng_seed: int = 0,
+             pretrained_backbone=None):
     logger.info("Training fold %d/%d (train=%d test=%d)", fold_idx + 1,
                 args.cv_folds, len(train_records), len(test_records))
     use_clinical = model_type == "multimodal"
@@ -190,6 +191,16 @@ def run_fold(fold_idx, train_records, test_records, model_type, args,
     else:
         variables = model.init(key, dummy_img, train=False)
     variables = dict(variables)
+    if pretrained_backbone is not None:
+        # Graft converted torchvision weights into the backbone subtree;
+        # heads stay freshly initialized (the reference swaps fc the
+        # same way, train_cnn_baseline.py:137-141).
+        variables["params"] = dict(variables["params"])
+        variables["params"]["backbone"] = jax.tree_util.tree_map(
+            jnp.asarray, pretrained_backbone["params"])
+        variables["batch_stats"] = dict(variables["batch_stats"])
+        variables["batch_stats"]["backbone"] = jax.tree_util.tree_map(
+            jnp.asarray, pretrained_backbone["batch_stats"])
 
     # torch.optim.Adam(weight_decay=...) couples L2 into the gradient
     # BEFORE the adaptive rescaling; chain add_decayed_weights -> adam
@@ -247,7 +258,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--weight_decay", type=float, default=1e-5)
-    parser.add_argument("--pretrained", action="store_true")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="initialize the ResNet18 backbone from "
+                             "--pretrained_path (converted torch weights)")
+    parser.add_argument("--pretrained_path", default=None,
+                        help="local torchvision resnet18 checkpoint "
+                             "(.pth/.bin state dict)")
     parser.add_argument("--device", default="tpu")
     parser.add_argument("--image_size", type=int, default=224)
     return parser
@@ -257,11 +273,21 @@ def main(argv=None) -> None:
     from sklearn.model_selection import StratifiedKFold
 
     args = build_parser().parse_args(argv)
+    pretrained_backbone = None
     if args.pretrained:
-        raise NotImplementedError(
-            "--pretrained requires torchvision ImageNet weights, which this "
-            "build does not ship; train from scratch or convert a torch "
-            "resnet18 checkpoint via models/convert.py")
+        # Zero-egress environment: the reference downloads torchvision's
+        # ImageNet resnet18 (train_cnn_baseline.py:137); here the weights
+        # come from a local torch checkpoint file instead.
+        if not args.pretrained_path:
+            raise SystemExit(
+                "--pretrained needs --pretrained_path pointing at a local "
+                "torchvision resnet18 checkpoint (.pth state dict)")
+        from emr2a_tpu.models.checkpoint import load_state_dict
+        from emr2a_tpu.models.convert import convert_torch_resnet18
+        pretrained_backbone = convert_torch_resnet18(
+            load_state_dict(args.pretrained_path))
+        logger.info("Loaded pretrained ResNet18 backbone from %s",
+                    args.pretrained_path)
     random.seed(args.seed)
     np.random.seed(args.seed)
 
@@ -288,7 +314,8 @@ def main(argv=None) -> None:
         scaler = ClinicalScaler().fit(np.stack(
             [encode_clinical(r.get("meta", {})) for r in train_records]))
         metrics = run_fold(fold_idx, train_records, test_records,
-                           args.model_type, args, label_to_idx, scaler)
+                           args.model_type, args, label_to_idx, scaler,
+                           pretrained_backbone=pretrained_backbone)
         metrics["fold"] = fold_idx + 1
         fold_results.append(metrics)
 

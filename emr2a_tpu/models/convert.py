@@ -264,3 +264,51 @@ def convert_biomedclip_text_tower(sd: Dict[str, np.ndarray],
     elif "text.proj" in sd:
         params["proj"] = {"kernel": sd["text.proj"]}
     return params
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet-18 (CNN baseline backbone)
+# ---------------------------------------------------------------------------
+
+def _conv_nhwc(sd, name):
+    """torch conv (out, in, kh, kw) -> flax Conv kernel (kh, kw, in, out)."""
+    return {"kernel": sd[f"{name}.weight"].transpose(2, 3, 1, 0)}
+
+
+def _bn_split(sd, name):
+    """torch BatchNorm -> (flax params, flax batch_stats)."""
+    return ({"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]},
+            {"mean": sd[f"{name}.running_mean"],
+             "var": sd[f"{name}.running_var"]})
+
+
+def convert_torch_resnet18(sd: Dict[str, np.ndarray],
+                           prefix: str = "") -> Dict:
+    """torchvision ``resnet18`` state dict -> variables for
+    models/resnet.ResNet18 (backbone only — ``fc.*`` is dropped; the
+    baseline heads train from scratch like the reference's replaced fc,
+    /root/reference/baselines/cnn_baseline/train_cnn_baseline.py:137-141).
+
+    Returns {"params": ..., "batch_stats": ...}.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    params["stem_conv"] = _conv_nhwc(sd, prefix + "conv1")
+    params["stem_bn"], stats["stem_bn"] = _bn_split(sd, prefix + "bn1")
+    for stage, n_blocks in enumerate((2, 2, 2, 2)):
+        for block in range(n_blocks):
+            t = f"{prefix}layer{stage + 1}.{block}."
+            bp: Dict = {}
+            bs: Dict = {}
+            bp["conv1"] = _conv_nhwc(sd, t + "conv1")
+            bp["bn1"], bs["bn1"] = _bn_split(sd, t + "bn1")
+            bp["conv2"] = _conv_nhwc(sd, t + "conv2")
+            bp["bn2"], bs["bn2"] = _bn_split(sd, t + "bn2")
+            if t + "downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv_nhwc(sd, t + "downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_split(
+                    sd, t + "downsample.1")
+            name = f"stage{stage}_block{block}"
+            params[name] = bp
+            stats[name] = bs
+    return {"params": params, "batch_stats": stats}

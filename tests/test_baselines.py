@@ -169,3 +169,134 @@ def test_evaluate_predictions():
     assert m["accuracy"] == 0.5
     assert m["num_samples"] == 2
     assert set(m["per_class"]) == {"PJP", "Bacterial", "Viral", "Normal"}
+
+
+# ---------------------------------------------------------------------------
+# torchvision resnet18 checkpoint conversion (--pretrained path)
+# ---------------------------------------------------------------------------
+
+def _torch_resnet18():
+    """Random-init torch ResNet18 with torchvision's exact module names
+    (offline golden — torchvision itself is not installed)."""
+    import torch
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idt)
+
+    class ResNet18Torch(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = nn.Sequential(BasicBlock(64, 64), BasicBlock(64, 64))
+            self.layer2 = nn.Sequential(BasicBlock(64, 128, 2),
+                                        BasicBlock(128, 128))
+            self.layer3 = nn.Sequential(BasicBlock(128, 256, 2),
+                                        BasicBlock(256, 256))
+            self.layer4 = nn.Sequential(BasicBlock(256, 512, 2),
+                                        BasicBlock(512, 512))
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(512, 1000)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = layer(x)
+            return self.avgpool(x).flatten(1)
+
+    torch.manual_seed(0)
+    model = ResNet18Torch()
+    # randomize BN running stats so the conversion of batch_stats is
+    # actually exercised (fresh stats are the trivial 0/1)
+    with torch.no_grad():
+        for mod in model.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.05)
+                mod.running_var.uniform_(0.5, 1.5)
+    return model
+
+
+def test_resnet18_torch_checkpoint_parity(rng):
+    """convert_torch_resnet18 output drives the flax backbone to the
+    torch model's eval-mode features (reference --pretrained,
+    /root/reference/baselines/cnn_baseline/train_cnn_baseline.py:137)."""
+    import torch
+    from emr2a_tpu.models.convert import convert_torch_resnet18
+
+    model = _torch_resnet18().eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    variables = convert_torch_resnet18(sd)
+    assert "fc" not in variables["params"]
+
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+
+    got = ResNet18().apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), expected,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_cnn_pretrained_flag(tmp_path, rng):
+    """--pretrained loads converted weights into every fold's backbone."""
+    import torch
+    from emr2a_tpu.baselines.cnn.train_cnn_baseline import main as cnn_main
+    from emr2a_tpu.data.manifest import save_manifest
+    from PIL import Image
+
+    ckpt = tmp_path / "resnet18.pth"
+    torch.save(_torch_resnet18().state_dict(), ckpt)
+
+    records = []
+    for i in range(8):
+        pdir = tmp_path / "imgs" / f"p{i}"
+        pdir.mkdir(parents=True)
+        slices = []
+        for s in range(2):
+            p = pdir / f"s{s}.png"
+            Image.fromarray(
+                (rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(p)
+            slices.append(str(p))
+        records.append({"patient_id": f"p{i}",
+                        "label": ["PJP", "Normal"][i % 2],
+                        "slices": slices,
+                        "meta": {"sex": "男", "age": "40", "fever": "有"}})
+    manifest_path = tmp_path / "manifest.jsonl"
+    save_manifest(records, manifest_path)
+
+    cnn_main(["--manifest_path", str(manifest_path),
+              "--output_dir", str(tmp_path / "out"),
+              "--pretrained", "--pretrained_path", str(ckpt),
+              "--cv_folds", "2", "--epochs", "1", "--k_slices", "2",
+              "--image_size", "32", "--batch_size", "4"])
+    results = json.loads(
+        (tmp_path / "out" / "exp_image_only" / "results.json").read_text())
+    assert len(results["fold_results"]) == 2
+
+    with pytest.raises(SystemExit, match="pretrained_path"):
+        cnn_main(["--manifest_path", str(manifest_path),
+                  "--output_dir", str(tmp_path / "out2"), "--pretrained"])
