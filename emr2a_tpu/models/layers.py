@@ -103,6 +103,10 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_mlp: bool = False
     fused_attn: bool = False
+    # Set when the caller keeps its token axis pre-padded across layers
+    # (models/vit.py fast path): rows >= valid_len are padding — masked
+    # as attention keys, junk as outputs.
+    valid_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -116,6 +120,12 @@ class TransformerBlock(nn.Module):
             from emr2a_tpu.ops.attention_block import pick_fused_attn_params
             fused_params = pick_fused_attn_params(
                 x.shape[-1], x.shape[1], self.num_heads)
+        if fused_params is None and self.valid_len is not None and mask is None:
+            # pre-padded tokens + einsum fallback: mask pad keys so the
+            # padding stays inert (additive (1, 1, 1, S) mask)
+            key_pos = jnp.arange(x.shape[1])[None, None, None, :]
+            mask = jnp.where(key_pos < self.valid_len, 0.0,
+                             jnp.finfo(jnp.float32).min)
         if fused_params is not None:
             from emr2a_tpu.ops.attention_block import fused_ln_attention
             block_b, head_group = fused_params
@@ -133,7 +143,8 @@ class TransformerBlock(nn.Module):
                 pa["out_proj"]["kernel"].astype(self.dtype),
                 pa["out_proj"]["bias"].astype(self.dtype),
                 num_heads=self.num_heads, eps=self.ln_eps,
-                head_group=head_group, block_b=block_b)
+                head_group=head_group, block_b=block_b,
+                valid_len=self.valid_len)
         else:
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln1")(x)

@@ -110,18 +110,35 @@ class VisionTransformer(nn.Module):
             x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
                              name="pre_ln")(x)
 
+        # Fast path: pad the token axis to sublane (8) alignment ONCE
+        # and keep it padded through every block — the fused attention
+        # kernel masks pad keys via valid_len, the fused MLP is
+        # row-wise, and pooling below slices the padding away.  This
+        # removes the per-layer XLA pad/slice copies the lane-padded
+        # kernel I/O used to require (~4% of tower time at ViT-B).
+        valid_len = None
+        if cfg.fused_attn and seq % 8:
+            valid_len = seq
+            x = jnp.pad(x, [(0, 0), (0, (-seq) % 8), (0, 0)])
+
         for i in range(cfg.num_layers):
             x = TransformerBlock(
                 num_heads=cfg.num_heads, mlp_dim=cfg.mlp_dim,
                 activation=cfg.activation, ln_eps=cfg.ln_eps,
                 dtype=cfg.dtype, fused_mlp=cfg.fused_mlp,
-                fused_attn=cfg.fused_attn, name=f"block_{i}")(x)
+                fused_attn=cfg.fused_attn, valid_len=valid_len,
+                name=f"block_{i}")(x)
+
+        if valid_len is not None:
+            x = x[:, :valid_len]
 
         ln = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype, name="final_ln")
 
         if cfg.pooling in ("cls_ln", "cls"):
-            # post-LN then cls token (HF CLIP pooler / timm token pooling)
-            return ln(x)[:, 0]
+            # post-LN then cls token (HF CLIP pooler / timm token
+            # pooling).  LN is row-wise, so normalizing only the cls row
+            # is exact and skips S-1 tokens' worth of LN work.
+            return ln(x[:, 0])
         if cfg.pooling == "mean":
             # HF ViTModel convention: LN over tokens, then mean of patches.
             x = ln(x)
