@@ -42,7 +42,8 @@ class QwenVLBackend:
             with (mp / "config.json").open() as f:
                 hf_cfg = json.load(f)
             config = qwen3_vl_config_from_hf(hf_cfg)
-            from emr2a_tpu.models.checkpoint import load_or_convert
+            from emr2a_tpu.models.checkpoint import (
+                load_or_convert, load_state_dict)
             # converted-params cache beside the checkpoint: the 8B
             # judge's torch.load + convert costs minutes, Orbax restore
             # does not (models/checkpoint.py load_or_convert)
@@ -50,7 +51,10 @@ class QwenVLBackend:
                 return convert_hf_qwen3_vl(
                     sd, config.vision.depth, config.text.num_layers)
 
-            params = load_or_convert(mp, convert_qwen3_vl)
+            if cache_params:
+                params = load_or_convert(mp, convert_qwen3_vl)
+            else:
+                params = convert_qwen3_vl(load_state_dict(mp))
         if tokenizer is None and model_path is not None:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(str(model_path))

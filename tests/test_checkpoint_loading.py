@@ -6,6 +6,8 @@ checkpoints written to disk — the exact flow a user with real weights
 hits.
 """
 
+import json
+
 import numpy as np
 import pytest
 
@@ -112,3 +114,43 @@ def test_load_or_convert_stale_cache_reconverts(clip_dir):
     os.utime(wt, (future, future))
     load_or_convert(d, convert, cache_name="stale_test")
     assert len(calls) == 2
+
+
+def test_qwen3_vl_bringup_cli(tmp_path):
+    """The --qwen3-vl bring-up smoke end-to-end on a SHARDED tiny
+    checkpoint dir (forced multi-file safetensors exercises the shard
+    loader the real 8B checkpoint needs)."""
+    from tests.test_qwen3_vl_parity import tiny_hf_model
+    from tests.test_qwen_encoder_backend import ToyTokenizer
+    from emr2a_tpu.models.convert import bringup_qwen3_vl
+
+    model, cfg = tiny_hf_model()
+    d = tmp_path / "qwen_sharded"
+    model.save_pretrained(d, max_shard_size="50KB")
+    shards = list(d.glob("*.safetensors"))
+    assert len(shards) > 1, "expected a sharded checkpoint"
+    # preprocessor config matching the tiny tower's patch geometry
+    # (the backend treats the checkpoint's preprocessor_config.json as
+    # authoritative)
+    (d / "preprocessor_config.json").write_text(json.dumps({
+        "image_processor_type": "Qwen2VLImageProcessor",
+        "patch_size": 4, "temporal_patch_size": 2, "merge_size": 2,
+        "min_pixels": 16, "max_pixels": 16384}))
+
+    summary = bringup_qwen3_vl(d, max_new_tokens=4,
+                               tokenizer=ToyTokenizer(), image_size=16)
+    assert summary["image_tap_dim"] == 32
+    assert summary["text_dim"] == 48
+    assert summary["tokenizer_roundtrip_ok"]
+    assert isinstance(summary["generated"], str)
+
+
+@pytest.mark.skipif(
+    "EMR2A_QWEN3_VL_DIR" not in __import__("os").environ,
+    reason="set EMR2A_QWEN3_VL_DIR to a real HF Qwen3-VL checkpoint")
+def test_qwen3_vl_bringup_real_checkpoint():
+    import os
+
+    from emr2a_tpu.models.convert import bringup_qwen3_vl
+    summary = bringup_qwen3_vl(os.environ["EMR2A_QWEN3_VL_DIR"])
+    assert summary["tokenizer_roundtrip_ok"]
