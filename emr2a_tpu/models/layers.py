@@ -120,6 +120,10 @@ class TransformerBlock(nn.Module):
             from emr2a_tpu.ops.attention_block import pick_fused_attn_params
             fused_params = pick_fused_attn_params(
                 x.shape[-1], x.shape[1], self.num_heads)
+        # Off-TPU (CPU-mesh tests, dryrun_multichip) the same kernels
+        # run in Pallas interpret mode, so the fast path's code path —
+        # not an einsum stand-in — is what multi-chip dryruns validate.
+        interpret = jax.default_backend() != "tpu"
         if fused_params is None and self.valid_len is not None and mask is None:
             # pre-padded tokens + einsum fallback: mask pad keys so the
             # padding stays inert (additive (1, 1, 1, S) mask)
@@ -144,7 +148,7 @@ class TransformerBlock(nn.Module):
                 pa["out_proj"]["bias"].astype(self.dtype),
                 num_heads=self.num_heads, eps=self.ln_eps,
                 head_group=head_group, block_b=block_b,
-                valid_len=self.valid_len)
+                valid_len=self.valid_len, interpret=interpret)
         else:
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln1")(x)
@@ -171,7 +175,8 @@ class TransformerBlock(nn.Module):
                 p["mlp"]["fc1"]["bias"].astype(self.dtype),
                 p["mlp"]["fc2"]["kernel"].astype(self.dtype),
                 p["mlp"]["fc2"]["bias"].astype(self.dtype),
-                eps=self.ln_eps, activation=self.activation, tile=256)
+                eps=self.ln_eps, activation=self.activation, tile=256,
+                interpret=interpret)
             return out.reshape(B, S, d)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x)
         x = x + Mlp(self.mlp_dim, activation=self.activation,

@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--what", default="all",
                     help="comma list: full,attn,mlp,rest,batches")
+    ap.add_argument("--batches", default="128,160,192,256",
+                    help="batch sizes for --what batches")
     args = ap.parse_args()
     what = set(args.what.split(","))
 
@@ -175,7 +177,7 @@ def main():
         print(f"{'preprocess only':42s} {dt * 1000 / args.iters:8.3f} ms/iter")
 
     if {"batches"} & what:
-        for bb in (128, 160, 192, 256):
+        for bb in (int(x) for x in args.batches.split(",")):
             tower, params, config = build_tower(bb)
             from emr2a_tpu.ops.preprocess import (BIOMEDCLIP_PREPROCESS,
                                                   preprocess_images)
