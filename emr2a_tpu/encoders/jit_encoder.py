@@ -177,7 +177,13 @@ class JitImageTextEncoder(BaseEncoder):
         """Path-based encode on the C++ decode pool when available:
         decode + resize run threaded in native code straight into one
         device batch (exact-resize specs only; shortest-edge specs fall
-        back to the per-image host path to preserve aspect ratio)."""
+        back to the per-image host path to preserve aspect ratio).
+
+        Host decode and device compute are double-buffered: chunk i+1's
+        native decode is submitted before chunk i's embeddings are
+        materialized, so the decode pool works through the device wait
+        (the reference decodes serially per image inside the encode
+        loop, encoders/base.py:27-37)."""
         from emr2a_tpu.data.native_loader import native_available
 
         spec = self.preprocess
@@ -185,22 +191,34 @@ class JitImageTextEncoder(BaseEncoder):
                 or (spec.shortest_edge and not self.assume_square_sources)):
             return super().encode_images(image_paths)
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from emr2a_tpu.data.native_loader import decode_batch
+
+        chunks = [image_paths[s:s + self.max_batch]
+                  for s in range(0, len(image_paths), self.max_batch)]
         out_embs: List[np.ndarray] = []
-        for start in range(0, len(image_paths), self.max_batch):
-            chunk = image_paths[start:start + self.max_batch]
-            batch, ok = decode_batch(chunk, spec.resize_size, spec.resize_size)
-            if not ok.any():
-                continue
-            batch = batch[ok]
-            b = self._bucket_for(len(batch))
-            if b > len(batch):
-                batch = np.concatenate(
-                    [batch, np.zeros((b - len(batch),) + batch.shape[1:],
-                                     batch.dtype)])
-            feats = np.asarray(
-                self._jit_image(self.params, self._shard(batch)))
-            out_embs.append(feats[:int(ok.sum())])
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = (ex.submit(decode_batch, chunks[0], spec.resize_size,
+                             spec.resize_size) if chunks else None)
+            for i in range(len(chunks)):
+                batch, ok = fut.result()
+                if i + 1 < len(chunks):
+                    fut = ex.submit(decode_batch, chunks[i + 1],
+                                    spec.resize_size, spec.resize_size)
+                if not ok.any():
+                    continue
+                batch = batch[ok]
+                b = self._bucket_for(len(batch))
+                if b > len(batch):
+                    batch = np.concatenate(
+                        [batch, np.zeros((b - len(batch),) + batch.shape[1:],
+                                         batch.dtype)])
+                # async dispatch; np.asarray blocks on the device while
+                # the decode thread fills the next chunk
+                feats = np.asarray(
+                    self._jit_image(self.params, self._shard(batch)))
+                out_embs.append(feats[:int(ok.sum())])
         if out_embs:
             return np.concatenate(out_embs, axis=0)
         return np.array([])

@@ -154,6 +154,98 @@ def main():
 
         timed_chain(mlp_iter, x2, args.iters, f"fused_ln_mlp/layer (T={T})")
 
+    if {"nlayers"} & what:
+        # Compose N real TransformerBlocks (the tower's exact layer
+        # stack, no stem) and chain it: localizes the full-vs-isolated
+        # per-layer gap.
+        from emr2a_tpu.models.layers import TransformerBlock
+        from flax import linen as nn
+
+        for n_layers in (1, 2, 4, 12):
+            class Stack(nn.Module):
+                n: int
+                @nn.compact
+                def __call__(self, x):
+                    for i in range(self.n):
+                        x = TransformerBlock(
+                            num_heads=H, mlp_dim=m, activation="gelu",
+                            ln_eps=1e-6, dtype=jnp.bfloat16,
+                            fused_mlp=True, fused_attn=True,
+                            valid_len=197, name=f"b{i}")(x)
+                    return x
+            stack = Stack(n=n_layers)
+            x = jnp.asarray(rng.randn(B, 200, d) * 0.5, jnp.bfloat16)
+            sparams = jax.device_put(jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16),
+                stack.init(jax.random.PRNGKey(0), x[:1])["params"]))
+
+            def stack_iter(carry, c):
+                y = stack.apply({"params": sparams},
+                                carry + (c * 1e-9).astype(carry.dtype))
+                return y * jnp.bfloat16(0.5)
+
+            ms = timed_chain(stack_iter, x, args.iters,
+                            f"{n_layers}-layer stack")
+            print(f"{'':42s} {ms / n_layers:8.3f} ms/layer")
+
+    if {"stem"} & what:
+        # stem+pool only: a 0-layer tower isolates everything the
+        # transformer layers are NOT (preprocess, patchify, pos-embed,
+        # pre-LN, final LN, cls pool, projection, L2)
+        import dataclasses
+
+        from emr2a_tpu.encoders.biomedclip_encoder import default_biomedclip_config
+        from emr2a_tpu.models.clip import BioMedCLIPImageTower
+        from emr2a_tpu.models.vit import ViTConfig
+        from emr2a_tpu.ops.preprocess import (BIOMEDCLIP_PREPROCESS,
+                                              preprocess_images)
+
+        base = default_biomedclip_config()
+        vcfg = ViTConfig(**{**base.vision.__dict__, "dtype": jnp.bfloat16,
+                            "num_layers": 0,
+                            "fused_mlp": True, "fused_attn": True})
+        config = type(base)(vision=vcfg, text=base.text,
+                            projection_dim=base.projection_dim,
+                            text_proj=base.text_proj)
+        tower0 = BioMedCLIPImageTower(config)
+        params0 = tower0.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 224, 224, 3), jnp.float32))["params"]
+        params0 = jax.device_put(jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params0))
+        imgs = jax.device_put(jnp.asarray(
+            rng.randint(0, 256, (B, 224, 224, 3), np.uint8)))
+
+        def stem_iter(carry, c):
+            im = imgs.at[0, 0, 0, 0].set(c.astype(jnp.uint8))
+            px = preprocess_images(im, BIOMEDCLIP_PREPROCESS)
+            f = tower0.apply({"params": params0}, px.astype(jnp.bfloat16))
+            f = f.astype(jnp.float32)
+            f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+            return carry + f.sum() * 1e-9, None
+
+        @jax.jit
+        def chain0(x0):
+            out, _ = jax.lax.scan(stem_iter, x0, jnp.arange(args.iters, dtype=jnp.float32))
+            return out
+        x0 = jnp.float32(0)
+        float(chain0(x0))
+        dt = min(_t(lambda: float(chain0(x0))) for _ in range(3)) - _rtt()
+        print(f"{'stem+pool (0-layer tower, batch %d)' % B:42s} {dt*1000/args.iters:8.3f} ms/iter")
+
+        def pre_iter(carry, c):
+            im = imgs.at[0, 0, 0, 0].set(c.astype(jnp.uint8))
+            px = preprocess_images(im, BIOMEDCLIP_PREPROCESS)
+            return carry + px.astype(jnp.float32).sum() * 1e-9, None
+
+        @jax.jit
+        def chainp(x0):
+            out, _ = jax.lax.scan(pre_iter, x0, jnp.arange(args.iters, dtype=jnp.float32))
+            return out
+        float(chainp(x0))
+        dt = min(_t(lambda: float(chainp(x0))) for _ in range(3)) - _rtt()
+        print(f"{'preprocess only (batch %d)' % B:42s} {dt*1000/args.iters:8.3f} ms/iter")
+
     if {"rest", "all"} & what:
         # patchify+pos-embed+pre-LN (embeddings) and final LN+pool+proj+L2
         from flax.core import freeze
