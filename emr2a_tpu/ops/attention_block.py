@@ -154,12 +154,96 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
         o_ref[bi, :, :] = x + y.astype(x.dtype)
 
 
+def _attn_block_kernel_merged(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref,
+                              bk_ref, bv_ref, bo_ref, s_ref, b_ref, o_ref,
+                              wq_ref, wk_ref, wv_ref, wo_ref, k_ref, v_ref,
+                              logits_ref, attn_ref, sems, *,
+                              eps: float, num_heads: int, head_dim: int,
+                              valid_len: int, head_group: int, block_b: int,
+                              sq: int, sp: int):
+    """Merged-batch variant: LN and all four projections run once over
+    the whole (block_b*sq, d) tile — M=block_b*sq keeps the MXU row
+    dimension full — while the SDPA stays per-item (items attend only
+    within themselves).  k/v land in per-item (sp, d) scratch for lane
+    alignment."""
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        dmas = [pltpu.make_async_copy(src, dst, sems.at[i]) for i, (src, dst)
+                in enumerate([(wq_hbm, wq_ref), (wk_hbm, wk_ref),
+                              (wv_hbm, wv_ref), (wo_hbm, wo_ref)])]
+        for dma in dmas:
+            dma.start()
+        if sp > sq:
+            k_ref[:, sq:sp, :] = jnp.zeros_like(k_ref[:, sq:sp, :])
+            v_ref[:, sq:sp, :] = jnp.zeros_like(v_ref[:, sq:sp, :])
+        for dma in dmas:
+            dma.wait()
+
+    scale = head_dim ** -0.5
+    n_groups = num_heads // head_group
+    col = jax.lax.broadcasted_iota(jnp.int32, (head_group * sq, sp), 1)
+
+    M = block_b * sq
+    x = x_ref[:, :, :].reshape(M, x_ref.shape[2])
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)
+         * s_ref[0, :].astype(jnp.float32)
+         + b_ref[0, :].astype(jnp.float32)).astype(x.dtype)
+
+    def proj(w_ref, bias_ref):
+        y = jax.lax.dot_general(
+            h, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + bias_ref[0, :].astype(jnp.float32)).astype(x.dtype)
+
+    q = proj(wq_ref, bq_ref)
+    k_all = proj(wk_ref, bk_ref)
+    v_all = proj(wv_ref, bv_ref)
+    for bi in range(block_b):
+        k_ref[bi, 0:sq, :] = k_all[bi * sq:(bi + 1) * sq, :]
+        v_ref[bi, 0:sq, :] = v_all[bi * sq:(bi + 1) * sq, :]
+
+    for bi in range(block_b):
+        for g in range(n_groups):
+            for j in range(head_group):
+                hd = (g * head_group + j) * head_dim
+                logits_ref[pl.ds(j * sq, sq), :] = jax.lax.dot_general(
+                    q[bi * sq:(bi + 1) * sq, hd:hd + head_dim],
+                    k_ref[bi, :, hd:hd + head_dim],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            logits = logits_ref[:, :]
+            if valid_len < sp:
+                logits = jnp.where(col < valid_len, logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            for j in range(head_group):
+                hd = (g * head_group + j) * head_dim
+                attn_ref[pl.ds(bi * sq, sq), hd:hd + head_dim] = (
+                    jax.lax.dot_general(
+                        probs[j * sq:(j + 1) * sq, :],
+                        v_ref[bi, :, hd:hd + head_dim],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(x.dtype))
+
+    y = jax.lax.dot_general(
+        attn_ref[:, :], wo_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bo_ref[0, :].astype(jnp.float32)
+    o_ref[:, :, :] = (x + y.astype(x.dtype)).reshape(
+        block_b, sq, x_ref.shape[2])
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "num_heads", "eps", "head_group", "block_b", "valid_len", "interpret"))
+    "num_heads", "eps", "head_group", "block_b", "valid_len", "merge_batch",
+    "interpret"))
 def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
                        wv, bv, wo, bo, num_heads: int, eps: float = 1e-6,
                        head_group: int = 6, block_b: int = 1,
                        valid_len: Optional[int] = None,
+                       merge_batch: bool = False,
                        interpret: bool = False) -> jax.Array:
     """x (B, S, D) -> x + out_proj(attention(LN(x))).
 
@@ -188,9 +272,17 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
                          memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if merge_batch:
+        kernel = _attn_block_kernel_merged
+        kv_shape = (block_b, sp, d)
+        extra_scratch = [pltpu.VMEM((block_b * sq, d), x.dtype)]
+    else:
+        kernel = _attn_block_kernel
+        kv_shape = (sp, d)
+        extra_scratch = []
     out = pl.pallas_call(
         functools.partial(
-            _attn_block_kernel, eps=eps, num_heads=num_heads,
+            kernel, eps=eps, num_heads=num_heads,
             head_dim=head_dim, valid_len=min(valid_len, S),
             head_group=head_group, block_b=block_b, sq=sq, sp=sp),
         grid=((B + b_pad) // block_b,),
@@ -200,8 +292,9 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
         scratch_shapes=[
             pltpu.VMEM((d, d), wq.dtype), pltpu.VMEM((d, d), wk.dtype),
             pltpu.VMEM((d, d), wv.dtype), pltpu.VMEM((d, d), wo.dtype),
-            pltpu.VMEM((sp, d), x.dtype), pltpu.VMEM((sp, d), x.dtype),
+            pltpu.VMEM(kv_shape, x.dtype), pltpu.VMEM(kv_shape, x.dtype),
             pltpu.VMEM((head_group * sq, sp), jnp.float32),
+        ] + extra_scratch + [
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

@@ -86,6 +86,10 @@ def main():
                     help="comma list: full,attn,mlp,rest,batches")
     ap.add_argument("--batches", default="128,160,192,256",
                     help="batch sizes for --what batches")
+    ap.add_argument("--tile", type=int, default=256, help="mlp tile (tune mode)")
+    ap.add_argument("--head_group", type=int, default=6)
+    ap.add_argument("--block_b", type=int, default=4)
+    ap.add_argument("--merge_batch", action="store_true")
     args = ap.parse_args()
     what = set(args.what.split(","))
 
@@ -153,6 +157,37 @@ def main():
             return y * jnp.bfloat16(0.5)
 
         timed_chain(mlp_iter, x2, args.iters, f"fused_ln_mlp/layer (T={T})")
+
+    if {"tune"} & what:
+        # One composed block with explicit kernel parameters (bypasses
+        # the picker) — for (block_b, head_group, mlp tile) sweeps.
+        from emr2a_tpu.ops.attention_block import fused_ln_attention
+        from emr2a_tpu.ops.mlp import fused_ln_mlp
+
+        x = jnp.asarray(rng.randn(B, 200, d) * 0.5, jnp.bfloat16)
+        mk = lambda *sh: jnp.asarray(rng.randn(*sh) * 0.02, jnp.bfloat16)
+        wq, wk, wv, wo = mk(d, d), mk(d, d), mk(d, d), mk(d, d)
+        bq, bk, bv, bo = mk(d), mk(d), mk(d), mk(d)
+        s1 = jnp.asarray(rng.rand(d) * 0.1 + 1, jnp.bfloat16)
+        b1v = mk(d)
+        w1, bb1, w2, bb2 = mk(d, m), mk(m), mk(m, d), mk(d)
+        s2 = jnp.asarray(rng.rand(d) * 0.1 + 1, jnp.bfloat16)
+        b2v = mk(d)
+
+        def block_iter(carry, c):
+            y = fused_ln_attention(
+                carry + (c * 1e-9).astype(carry.dtype), s1, b1v,
+                wq, bq, wk, bk, wv, bv, wo, bo, num_heads=H,
+                head_group=args.head_group, block_b=args.block_b,
+                valid_len=197, merge_batch=args.merge_batch)
+            y2 = fused_ln_mlp(y.reshape(B * 200, d), s2, b2v,
+                              w1, bb1, w2, bb2, activation="gelu",
+                              tile=args.tile).reshape(B, 200, d)
+            return y2 * jnp.bfloat16(0.5)
+
+        timed_chain(block_iter, x, args.iters,
+                    f"block bb={args.block_b} hg={args.head_group} "
+                    f"tile={args.tile} merge={args.merge_batch}")
 
     if {"nlayers"} & what:
         # Compose N real TransformerBlocks (the tower's exact layer

@@ -168,3 +168,25 @@ def test_fused_ln_attention_shape_sweep(rng, monkeypatch, B, S, D, H):
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize("block_b,valid_len", [(2, None), (4, 197)])
+def test_merged_batch_variant_matches(rng, block_b, valid_len):
+    """merge_batch=True (LN + all projections at block_b*sq rows) is
+    numerically identical to the per-item kernel."""
+    import jax.numpy as jnp
+    from emr2a_tpu.ops.attention_block import fused_ln_attention
+
+    B, S, d, H = 5, 197 if valid_len is None else 200, 96, 6
+    x = jnp.asarray(rng.randn(B, S, d) * 0.5, jnp.float32)
+    mk = lambda *sh: jnp.asarray(rng.randn(*sh) * 0.1, jnp.float32)
+    wq, wk, wv, wo = mk(d, d), mk(d, d), mk(d, d), mk(d, d)
+    bq, bk, bv, bo = mk(d), mk(d), mk(d), mk(d)
+    s, b = mk(d) + 1, mk(d)
+    kw = dict(num_heads=H, head_group=3, block_b=block_b,
+              valid_len=valid_len, interpret=True)
+    base = fused_ln_attention(x, s, b, wq, bq, wk, bk, wv, bv, wo, bo, **kw)
+    merged = fused_ln_attention(x, s, b, wq, bq, wk, bk, wv, bv, wo, bo,
+                                merge_batch=True, **kw)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(base),
+                               atol=1e-6, rtol=1e-6)
