@@ -106,7 +106,11 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
 
     scale = head_dim ** -0.5
     n_groups = num_heads // head_group
-    col = jax.lax.broadcasted_iota(jnp.int32, (head_group * sq, sp), 1)
+    # additive key mask, one (1, sp) row broadcast onto the logits: a
+    # single VPU add per group instead of iota+compare+select passes
+    mask_row = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1) < valid_len,
+        0.0, NEG_INF).astype(jnp.float32)
 
     for bi in range(block_b):
         x = x_ref[bi, :, :]
@@ -137,7 +141,7 @@ def _attn_block_kernel(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref, bk_ref,
                     preferred_element_type=jnp.float32) * scale
             logits = logits_ref[:, :]
             if valid_len < sp:
-                logits = jnp.where(col < valid_len, logits, NEG_INF)
+                logits = logits + mask_row
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
             for j in range(head_group):
                 hd = (g * head_group + j) * head_dim
@@ -181,7 +185,9 @@ def _attn_block_kernel_merged(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref,
 
     scale = head_dim ** -0.5
     n_groups = num_heads // head_group
-    col = jax.lax.broadcasted_iota(jnp.int32, (head_group * sq, sp), 1)
+    mask_row = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1) < valid_len,
+        0.0, NEG_INF).astype(jnp.float32)
 
     M = block_b * sq
     x = x_ref[:, :, :].reshape(M, x_ref.shape[2])
@@ -205,18 +211,22 @@ def _attn_block_kernel_merged(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm, bq_ref,
         k_ref[bi, 0:sq, :] = k_all[bi * sq:(bi + 1) * sq, :]
         v_ref[bi, 0:sq, :] = v_all[bi * sq:(bi + 1) * sq, :]
 
+    # Per-item logits buffers (leading block_b axis) keep each item's
+    # logits→softmax→pv chain independent, so Mosaic can overlap item
+    # i's VPU softmax with item i+1's MXU matmuls instead of
+    # serializing everything through one shared scratch.
     for bi in range(block_b):
         for g in range(n_groups):
             for j in range(head_group):
                 hd = (g * head_group + j) * head_dim
-                logits_ref[pl.ds(j * sq, sq), :] = jax.lax.dot_general(
+                logits_ref[bi, pl.ds(j * sq, sq), :] = jax.lax.dot_general(
                     q[bi * sq:(bi + 1) * sq, hd:hd + head_dim],
                     k_ref[bi, :, hd:hd + head_dim],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
-            logits = logits_ref[:, :]
+            logits = logits_ref[bi, :, :]
             if valid_len < sp:
-                logits = jnp.where(col < valid_len, logits, NEG_INF)
+                logits = logits + mask_row
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
             for j in range(head_group):
                 hd = (g * head_group + j) * head_dim
@@ -275,10 +285,12 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
     if merge_batch:
         kernel = _attn_block_kernel_merged
         kv_shape = (block_b, sp, d)
+        logits_shape = (block_b, head_group * sq, sp)
         extra_scratch = [pltpu.VMEM((block_b * sq, d), x.dtype)]
     else:
         kernel = _attn_block_kernel
         kv_shape = (sp, d)
+        logits_shape = (head_group * sq, sp)
         extra_scratch = []
     out = pl.pallas_call(
         functools.partial(
@@ -293,7 +305,7 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
             pltpu.VMEM((d, d), wq.dtype), pltpu.VMEM((d, d), wk.dtype),
             pltpu.VMEM((d, d), wv.dtype), pltpu.VMEM((d, d), wo.dtype),
             pltpu.VMEM(kv_shape, x.dtype), pltpu.VMEM(kv_shape, x.dtype),
-            pltpu.VMEM((head_group * sq, sp), jnp.float32),
+            pltpu.VMEM(logits_shape, jnp.float32),
         ] + extra_scratch + [
             pltpu.SemaphoreType.DMA((4,)),
         ],

@@ -34,7 +34,8 @@ _KERNEL_ACTIVATIONS = {
 
 
 def _mlp_kernel(x_ref, w1_hbm, b1_ref, w2_hbm, b2_ref, s_ref, b_ref, o_ref,
-                w1_ref, w2_ref, sems, *, eps: float, activation: str):
+                w1_ref, w2_ref, sems, *, eps: float, activation: str,
+                act_dtype):
     # Weights are DMA'd HBM->VMEM scratch ONCE (first grid step) and
     # reused across all token tiles — keeping them as pipelined input
     # blocks would double-buffer ~19 MB and blow VMEM.
@@ -57,8 +58,8 @@ def _mlp_kernel(x_ref, w1_hbm, b1_ref, w2_hbm, b2_ref, s_ref, b_ref, o_ref,
     h1 = jax.lax.dot_general(
         h, w1_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    h1 = _KERNEL_ACTIVATIONS[activation](h1 + b1_ref[0, :].astype(jnp.float32))
-    h1 = h1.astype(x.dtype)
+    h1 = (h1 + b1_ref[0, :].astype(jnp.float32)).astype(act_dtype)
+    h1 = _KERNEL_ACTIVATIONS[activation](h1).astype(x.dtype)
     y = jax.lax.dot_general(
         h1, w2_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -67,13 +68,19 @@ def _mlp_kernel(x_ref, w1_hbm, b1_ref, w2_hbm, b2_ref, s_ref, b_ref, o_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps", "activation", "tile", "interpret"))
+                   static_argnames=("eps", "activation", "tile", "act_dtype",
+                                    "interpret"))
 def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                  w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
                  eps: float = 1e-6, activation: str = "gelu",
-                 tile: int = 512, interpret: bool = False) -> jax.Array:
+                 tile: int = 512, act_dtype=jnp.float32,
+                 interpret: bool = False) -> jax.Array:
     """x (T, d) -> x + MLP(LN(x)).  T padded to the token tile; weights
-    (d, m) and (m, d) stay VMEM-resident across grid steps."""
+    (d, m) and (m, d) stay VMEM-resident across grid steps.
+
+    ``act_dtype``: precision the activation function is evaluated in;
+    bf16 halves the VPU transcendental work (per-layer output cosine
+    vs f32 >= 0.99999 at ViT-B scales — measured in scripts/)."""
     T, d = x.shape
     m = w1.shape[1]
     tp = -(-T // tile) * tile
@@ -84,7 +91,8 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=eps, activation=activation),
+        functools.partial(_mlp_kernel, eps=eps, activation=activation,
+                          act_dtype=act_dtype),
         grid=(tp // tile,),
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),

@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--head_group", type=int, default=6)
     ap.add_argument("--block_b", type=int, default=4)
     ap.add_argument("--merge_batch", action="store_true")
+    ap.add_argument("--activation", default="gelu")
+    ap.add_argument("--act_bf16", action="store_true")
     args = ap.parse_args()
     what = set(args.what.split(","))
 
@@ -181,13 +183,16 @@ def main():
                 head_group=args.head_group, block_b=args.block_b,
                 valid_len=197, merge_batch=args.merge_batch)
             y2 = fused_ln_mlp(y.reshape(B * 200, d), s2, b2v,
-                              w1, bb1, w2, bb2, activation="gelu",
+                              w1, bb1, w2, bb2, activation=args.activation,
+                              act_dtype=jnp.bfloat16 if args.act_bf16
+                              else jnp.float32,
                               tile=args.tile).reshape(B, 200, d)
             return y2 * jnp.bfloat16(0.5)
 
         timed_chain(block_iter, x, args.iters,
                     f"block bb={args.block_b} hg={args.head_group} "
-                    f"tile={args.tile} merge={args.merge_batch}")
+                    f"tile={args.tile} merge={args.merge_batch} "
+                    f"act={args.activation}{'/bf16' if args.act_bf16 else ''}")
 
     if {"nlayers"} & what:
         # Compose N real TransformerBlocks (the tower's exact layer

@@ -102,8 +102,17 @@ def hbm_rate(mb=256):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--what", default="all")
     args = ap.parse_args()
     B = args.batch
+
+    if args.what == "mlp_tiles":
+        for M in (64, 128, 256, 512):
+            mxu_rate(M, 768, 3072, steps=max(500, 512000 // M))
+            mxu_rate(M, 3072, 768, steps=max(500, 512000 // M))
+        for M in (96, 400, 800):
+            mxu_rate(M, 768, 768, steps=max(500, 512000 // M))
+        return
 
     print("== pure-MXU ceilings at ViT-B/16 tower shapes ==")
     # attention projections at block_b=4 merged rows / per-item rows
