@@ -336,20 +336,31 @@ class CVRetrievalEvaluator:
         for key in avg:
             avg[key] /= len(results["fold_results"])
 
+        try:
+            import seaborn as sns
+        except ImportError:  # matplotlib-only fallback
+            sns = None
+
         fig, axes = plt.subplots(1, 2, figsize=(12, 5))
         for ax, (key, title) in zip(axes, [("top1", "Confusion Matrix (Top1)"),
                                            ("vote", "Confusion Matrix (Vote)")]):
-            im = ax.imshow(avg[key], cmap="Blues")
-            ax.set_xticks(range(n), labels)
-            ax.set_yticks(range(n), labels)
-            for i in range(n):
-                for j in range(n):
-                    ax.text(j, i, f"{avg[key][i, j]:.1f}",
-                            ha="center", va="center")
+            if sns is not None:
+                # reference style: annotated seaborn heatmap
+                # (/root/reference/utils/cv_evaluator.py:459-501)
+                sns.heatmap(avg[key], annot=True, fmt=".1f", cmap="Blues",
+                            xticklabels=labels, yticklabels=labels, ax=ax)
+            else:
+                im = ax.imshow(avg[key], cmap="Blues")
+                ax.set_xticks(range(n), labels)
+                ax.set_yticks(range(n), labels)
+                for i in range(n):
+                    for j in range(n):
+                        ax.text(j, i, f"{avg[key][i, j]:.1f}",
+                                ha="center", va="center")
+                fig.colorbar(im, ax=ax)
             ax.set_title(title)
             ax.set_xlabel("Predicted")
             ax.set_ylabel("True")
-            fig.colorbar(im, ax=ax)
         plt.tight_layout()
         plt.savefig(Path(output_dir) / "confusion_matrices.png", dpi=150,
                     bbox_inches="tight")

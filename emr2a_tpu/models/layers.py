@@ -131,24 +131,39 @@ class TransformerBlock(nn.Module):
             mask = jnp.where(key_pos < self.valid_len, 0.0,
                              jnp.finfo(jnp.float32).min)
         if fused_params is not None:
-            from emr2a_tpu.ops.attention_block import fused_ln_attention
             block_b, head_group = fused_params
             p = self.variables["params"]
             pa = p["attn"]
-            x = fused_ln_attention(
-                x, p["ln1"]["scale"].astype(self.dtype),
-                p["ln1"]["bias"].astype(self.dtype),
-                pa["q_proj"]["kernel"].astype(self.dtype),
-                pa["q_proj"]["bias"].astype(self.dtype),
-                pa["k_proj"]["kernel"].astype(self.dtype),
-                pa["k_proj"]["bias"].astype(self.dtype),
-                pa["v_proj"]["kernel"].astype(self.dtype),
-                pa["v_proj"]["bias"].astype(self.dtype),
-                pa["out_proj"]["kernel"].astype(self.dtype),
-                pa["out_proj"]["bias"].astype(self.dtype),
-                num_heads=self.num_heads, eps=self.ln_eps,
-                head_group=head_group, block_b=block_b,
-                valid_len=self.valid_len, interpret=interpret)
+            if "kernel_q" in pa["q_proj"]:
+                # W8A8 params (models/quantize.quantize_tower_params)
+                from emr2a_tpu.ops.attention_block import (
+                    fused_ln_attention_int8)
+                x = fused_ln_attention_int8(
+                    x, p["ln1"]["scale"].astype(self.dtype),
+                    p["ln1"]["bias"].astype(self.dtype),
+                    *(a for proj in ("q_proj", "k_proj", "v_proj", "out_proj")
+                      for a in (pa[proj]["kernel_q"],
+                                pa[proj]["kernel_scale"],
+                                pa[proj]["bias"].astype(self.dtype))),
+                    num_heads=self.num_heads, eps=self.ln_eps,
+                    head_group=head_group, block_b=block_b,
+                    valid_len=self.valid_len, interpret=interpret)
+            else:
+                from emr2a_tpu.ops.attention_block import fused_ln_attention
+                x = fused_ln_attention(
+                    x, p["ln1"]["scale"].astype(self.dtype),
+                    p["ln1"]["bias"].astype(self.dtype),
+                    pa["q_proj"]["kernel"].astype(self.dtype),
+                    pa["q_proj"]["bias"].astype(self.dtype),
+                    pa["k_proj"]["kernel"].astype(self.dtype),
+                    pa["k_proj"]["bias"].astype(self.dtype),
+                    pa["v_proj"]["kernel"].astype(self.dtype),
+                    pa["v_proj"]["bias"].astype(self.dtype),
+                    pa["out_proj"]["kernel"].astype(self.dtype),
+                    pa["out_proj"]["bias"].astype(self.dtype),
+                    num_heads=self.num_heads, eps=self.ln_eps,
+                    head_group=head_group, block_b=block_b,
+                    valid_len=self.valid_len, interpret=interpret)
         else:
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln1")(x)
@@ -167,16 +182,31 @@ class TransformerBlock(nn.Module):
                 return x + mlp(h)
             p = self.variables["params"]
             B, S, d = x.shape
-            out = fused_ln_mlp(
-                x.reshape(B * S, d),
-                p["ln2"]["scale"].astype(self.dtype),
-                p["ln2"]["bias"].astype(self.dtype),
-                p["mlp"]["fc1"]["kernel"].astype(self.dtype),
-                p["mlp"]["fc1"]["bias"].astype(self.dtype),
-                p["mlp"]["fc2"]["kernel"].astype(self.dtype),
-                p["mlp"]["fc2"]["bias"].astype(self.dtype),
-                eps=self.ln_eps, activation=self.activation, tile=256,
-                interpret=interpret)
+            if "kernel_q" in p["mlp"]["fc1"]:
+                from emr2a_tpu.ops.mlp import fused_ln_mlp_int8
+                out = fused_ln_mlp_int8(
+                    x.reshape(B * S, d),
+                    p["ln2"]["scale"].astype(self.dtype),
+                    p["ln2"]["bias"].astype(self.dtype),
+                    p["mlp"]["fc1"]["kernel_q"],
+                    p["mlp"]["fc1"]["kernel_scale"],
+                    p["mlp"]["fc1"]["bias"].astype(self.dtype),
+                    p["mlp"]["fc2"]["kernel_q"],
+                    p["mlp"]["fc2"]["kernel_scale"],
+                    p["mlp"]["fc2"]["bias"].astype(self.dtype),
+                    eps=self.ln_eps, activation=self.activation, tile=256,
+                    interpret=interpret)
+            else:
+                out = fused_ln_mlp(
+                    x.reshape(B * S, d),
+                    p["ln2"]["scale"].astype(self.dtype),
+                    p["ln2"]["bias"].astype(self.dtype),
+                    p["mlp"]["fc1"]["kernel"].astype(self.dtype),
+                    p["mlp"]["fc1"]["bias"].astype(self.dtype),
+                    p["mlp"]["fc2"]["kernel"].astype(self.dtype),
+                    p["mlp"]["fc2"]["bias"].astype(self.dtype),
+                    eps=self.ln_eps, activation=self.activation, tile=256,
+                    interpret=interpret)
             return out.reshape(B, S, d)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x)
         x = x + Mlp(self.mlp_dim, activation=self.activation,

@@ -1,0 +1,66 @@
+"""Post-load W8A8 quantization of transformer tower params.
+
+``quantize_tower_params`` walks a VisionTransformer param tree and
+replaces each TransformerBlock's projection / MLP kernels with int8
+weights + per-output-column f32 scales (ops/mlp.quantize_weight_int8).
+TransformerBlock detects the ``kernel_q`` entries at apply time and
+routes through the W8A8 Pallas kernels
+(ops/attention_block.fused_ln_attention_int8, ops/mlp.fused_ln_mlp_int8):
+s8 x s8 -> s32 MXU products run ~2x the bf16 rate on v5e
+(scripts/exp_roofline.py --what int8) and the tower is MXU-pass-bound.
+
+Embedding quality: per-layer row cosine vs the bf16 path >= 0.9999 at
+ViT-B scales; the full-tower cosine is asserted by
+tests/test_quantized_tower.py.  Inference-only (no VJP), TPU-first
+(interpret mode off-TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from emr2a_tpu.ops.mlp import quantize_weight_int8
+
+_ATTN_PROJS = ("q_proj", "k_proj", "v_proj", "out_proj")
+_MLP_FCS = ("fc1", "fc2")
+
+
+def _quantize_dense(entry: Dict) -> Dict:
+    w = np.asarray(entry["kernel"], np.float32)
+    q, scale = quantize_weight_int8(w)
+    out = {k: v for k, v in entry.items() if k != "kernel"}
+    out["kernel_q"] = q
+    out["kernel_scale"] = scale.reshape(-1)
+    return out
+
+
+def quantize_block_params(block: Dict) -> Dict:
+    """One TransformerBlock subtree -> W8A8 subtree."""
+    out = dict(block)
+    if "attn" in block:
+        attn = dict(block["attn"])
+        for proj in _ATTN_PROJS:
+            if proj in attn and "kernel" in attn[proj]:
+                attn[proj] = _quantize_dense(attn[proj])
+        out["attn"] = attn
+    if "mlp" in block:
+        mlp = dict(block["mlp"])
+        for fc in _MLP_FCS:
+            if fc in mlp and "kernel" in mlp[fc]:
+                mlp[fc] = _quantize_dense(mlp[fc])
+        out["mlp"] = mlp
+    return out
+
+
+def quantize_tower_params(params: Dict) -> Dict:
+    """VisionTransformer params -> params with every block_i quantized.
+
+    Non-block entries (patch_embed, pos_embed, layernorms, projection)
+    pass through untouched — they are a rounding error of the FLOPs and
+    stay in the float path.
+    """
+    return {name: (quantize_block_params(sub)
+                   if name.startswith("block_") else sub)
+            for name, sub in params.items()}

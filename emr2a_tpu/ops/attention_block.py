@@ -318,3 +318,158 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
     )(xp, wq, wk, wv, wo, row(bq), row(bk), row(bv), row(bo),
       row(ln_scale), row(ln_bias))
     return out[:B, :S]
+
+
+# ---------------------------------------------------------------------------
+# int8 (W8A8) projection variant
+# ---------------------------------------------------------------------------
+#
+# Projections (the 8/9ths of this kernel's FLOPs that are plain h@W)
+# run as s8 x s8 -> s32 MXU products — ~2x the bf16 rate on v5e
+# (scripts/exp_roofline.py --what int8) — with f32 rescale; the SDPA
+# (softmax numerics) stays bf16.  Weights quantized per output column
+# offline (ops/mlp.quantize_weight_int8); LN output / attn rows are
+# dynamically quantized per row.
+
+
+def _quantize_rows_i8(h):
+    a = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    scale = jnp.maximum(a, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _attn_block_kernel_i8(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm,
+                          sq_ref, sk_ref, sv_ref, so_ref,
+                          bq_ref, bk_ref, bv_ref, bo_ref, s_ref, b_ref,
+                          o_ref, wq_ref, wk_ref, wv_ref, wo_ref, k_ref,
+                          v_ref, logits_ref, sems, *,
+                          eps: float, num_heads: int, head_dim: int,
+                          valid_len: int, head_group: int, block_b: int,
+                          sq: int, sp: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _load_weights():
+        dmas = [pltpu.make_async_copy(src, dst, sems.at[i]) for i, (src, dst)
+                in enumerate([(wq_hbm, wq_ref), (wk_hbm, wk_ref),
+                              (wv_hbm, wv_ref), (wo_hbm, wo_ref)])]
+        for dma in dmas:
+            dma.start()
+        if sp > sq:
+            k_ref[sq:sp, :] = jnp.zeros_like(k_ref[sq:sp, :])
+            v_ref[sq:sp, :] = jnp.zeros_like(v_ref[sq:sp, :])
+        for dma in dmas:
+            dma.wait()
+
+    scale = head_dim ** -0.5
+    n_groups = num_heads // head_group
+    mask_row = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1) < valid_len,
+        0.0, NEG_INF).astype(jnp.float32)
+
+    for bi in range(block_b):
+        x = x_ref[bi, :, :]
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+        h = ((xf - mu) * jax.lax.rsqrt(var + eps)
+             * s_ref[0, :].astype(jnp.float32)
+             + b_ref[0, :].astype(jnp.float32))
+        hq, hscale = _quantize_rows_i8(h)
+
+        def proj(w_ref, col_ref, bias_ref):
+            acc = jax.lax.dot_general(
+                hq, w_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * hscale * col_ref[0, :]
+                 + bias_ref[0, :].astype(jnp.float32))
+            return y.astype(x.dtype)
+
+        q = proj(wq_ref, sq_ref, bq_ref)
+        k_ref[0:sq, :] = proj(wk_ref, sk_ref, bk_ref)
+        v_ref[0:sq, :] = proj(wv_ref, sv_ref, bv_ref)
+
+        attn_cols = []
+        for g in range(n_groups):
+            for j in range(head_group):
+                hd = (g * head_group + j) * head_dim
+                logits_ref[pl.ds(j * sq, sq), :] = jax.lax.dot_general(
+                    q[:, hd:hd + head_dim], k_ref[:, hd:hd + head_dim],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            logits = logits_ref[:, :]
+            if valid_len < sp:
+                logits = logits + mask_row
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            for j in range(head_group):
+                hd = (g * head_group + j) * head_dim
+                attn_cols.append(jax.lax.dot_general(
+                    probs[j * sq:(j + 1) * sq, :], v_ref[:, hd:hd + head_dim],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+        attn = jnp.concatenate(attn_cols, axis=1)
+        aq, ascale = _quantize_rows_i8(attn)
+        acc = jax.lax.dot_general(
+            aq, wo_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * ascale * so_ref[0, :]
+             + bo_ref[0, :].astype(jnp.float32))
+        o_ref[bi, :, :] = x + y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "eps", "head_group", "block_b", "valid_len", "interpret"))
+def fused_ln_attention_int8(x: jax.Array, ln_scale, ln_bias,
+                            wq_q, wq_s, bq, wk_q, wk_s, bk,
+                            wv_q, wv_s, bv, wo_q, wo_s, bo,
+                            num_heads: int, eps: float = 1e-6,
+                            head_group: int = 6, block_b: int = 1,
+                            valid_len: Optional[int] = None,
+                            interpret: bool = False) -> jax.Array:
+    """W8A8 variant of :func:`fused_ln_attention` — same contract, with
+    int8 weights + (1, d) column scales from
+    ops/mlp.quantize_weight_int8 for each projection."""
+    B, S, d = x.shape
+    if d % num_heads:
+        raise ValueError(f"hidden {d} not divisible by num_heads {num_heads}")
+    if num_heads % head_group:
+        head_group = next(g for g in range(min(head_group, num_heads), 0, -1)
+                          if num_heads % g == 0)
+    head_dim = d // num_heads
+    if valid_len is None:
+        valid_len = S
+    sq = -(-S // 8) * 8
+    sp = -(-sq // 128) * 128
+    b_pad = (-B) % block_b
+    xp = jnp.pad(x, [(0, b_pad), (0, sq - S), (0, 0)])
+    row = lambda v: v.reshape(1, -1)
+
+    xspec = pl.BlockSpec((block_b, sq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel_i8, eps=eps, num_heads=num_heads,
+            head_dim=head_dim, valid_len=min(valid_len, S),
+            head_group=head_group, block_b=block_b, sq=sq, sp=sp),
+        grid=((B + b_pad) // block_b,),
+        in_specs=[xspec, hbm, hbm, hbm, hbm] + [vec] * 10,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B + b_pad, sq, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d, d), jnp.int8), pltpu.VMEM((d, d), jnp.int8),
+            pltpu.VMEM((d, d), jnp.int8), pltpu.VMEM((d, d), jnp.int8),
+            pltpu.VMEM((sp, d), x.dtype), pltpu.VMEM((sp, d), x.dtype),
+            pltpu.VMEM((head_group * sq, sp), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=B * (8 * sq * d * d + 4 * sq * sp * d),
+            bytes_accessed=2 * B * sq * d * x.dtype.itemsize + 4 * d * d,
+            transcendentals=B * num_heads * sq * sp,
+        ),
+    )(xp, wq_q, wk_q, wv_q, wo_q,
+      row(wq_s), row(wk_s), row(wv_s), row(wo_s),
+      row(bq), row(bk), row(bv), row(bo), row(ln_scale), row(ln_bias))
+    return out[:B, :S]
