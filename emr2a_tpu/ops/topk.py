@@ -5,11 +5,16 @@ full ``np.argsort`` of the whole DB (utils/cv_evaluator.py:107-130,
 retrieval/evaluator.py:178-208).  TPU-native shape:
 
 - ``cosine_topk``: one (q, dim) x (dim, n) MXU matmul + ``lax.top_k``.
-- ``cosine_topk_pallas``: a Pallas kernel that streams DB tiles
-  HBM→VMEM, fuses the score matmul with an iterative top-k selection in
-  VMEM scratch, and never materializes the (q, n) score matrix in HBM —
-  the op is then DB-bandwidth-bound, which is the speed-of-light for
-  this access pattern.
+  This is the DEFAULT and the measured winner: 0.706 ms at 1M x 256
+  bf16 q=1 on a v5e chip (~725 GB/s effective — DB-read bandwidth
+  optimal; scripts/exp_retrieval_scale.py, docs/PERF_NOTES.md).
+- ``cosine_topk_pallas``: EXPERIMENTAL.  Streams DB tiles HBM→VMEM and
+  fuses the score matmul with on-chip top-k selection.  In principle
+  bandwidth-bound like the XLA path, but measured ~3x slower at 1M
+  rows (2.24 ms vs 0.706; 0.092 vs 0.070 ms at 125k) across tile sizes
+  2048-8192 — per-grid-step selection overhead dominates.  Kept as a
+  documented experiment, default OFF everywhere
+  (retrieval/database.py use_pallas=False).
 
 Tie-breaking: both paths return the *lowest* DB index among equal
 scores (``lax.top_k`` semantics).  The reference's
