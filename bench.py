@@ -6,8 +6,11 @@ slices/sec/chip on the BASELINE.json target of >= 5000.
 Methodology: the device sync through the axon relay costs ~30 ms RTT,
 so the batch loop runs INSIDE one jit (lax.scan over batches) with a
 single scalar readback; wall time is measured around that one call
-after a warmup compile.  bf16 params/compute, batch = BATCH below
-(tuned on the round-1 chip; see docs/PERF_NOTES.md).
+after a warmup compile.  Default precision is W8A8 int8 (weights
+per-column, activations per-row dynamic; SDPA bf16) — full-tower
+embedding cosine vs the bf16 path >= 0.9993, vs f32 >= 0.999 (ranking
+equivalent; docs/PERF_NOTES.md).  Set EMR2A_BENCH_PRECISION=bf16 for
+the bf16 path.  batch = BATCH below (tuned; see PERF_NOTES).
 """
 
 from __future__ import annotations
@@ -51,6 +54,10 @@ def main() -> None:
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
+    import os
+    if os.environ.get("EMR2A_BENCH_PRECISION", "int8") == "int8":
+        from emr2a_tpu.models.quantize import quantize_tower_params
+        params = {**params, "trunk": quantize_tower_params(params["trunk"])}
     params = jax.device_put(params)
 
     @jax.jit
