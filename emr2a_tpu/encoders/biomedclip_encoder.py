@@ -66,6 +66,12 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
             raise ValueError("BioMedCLIPEncoder needs model_path or params")
         if fast:
             params = _cast_image_params_bf16(params)
+            if fast == "int8":
+                from emr2a_tpu.models.quantize import quantize_tower_params
+                params = {**params, "image": {
+                    **params["image"],
+                    "trunk": quantize_tower_params(params["image"]["trunk"]),
+                }}
         self.config = config
         self.context_length = context_length
         self._image_tower = BioMedCLIPImageTower(config)
@@ -109,11 +115,12 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
 
 def _fast_config(config: BioMedCLIPConfig) -> BioMedCLIPConfig:
     """TPU fast mode: bf16 image tower + fused Pallas LN+attention and
-    LN+MLP kernels (docs/PERF_NOTES.md: 2750 -> 4345 slices/s/chip;
-    embedding cosine vs f32 einsum path >= 0.9999).  TPU-only — the
-    kernels don't lower on CPU — and inference-only: the Pallas
-    kernels define no VJP, so pass einsum-path towers (fast=False)
-    to ContrastiveTrainer."""
+    LN+MLP kernels (docs/PERF_NOTES.md; embedding cosine vs f32 einsum
+    path >= 0.9999).  ``fast="int8"`` additionally quantizes the trunk
+    blocks W8A8 (models/quantize.py; ~2x MXU rate on v5e, cosine >=
+    0.999).  Off-TPU the kernels run in Pallas interpret mode;
+    inference-only: the Pallas kernels define no VJP, so pass
+    einsum-path towers (fast=False) to ContrastiveTrainer."""
     import dataclasses
     import jax.numpy as jnp
     return dataclasses.replace(

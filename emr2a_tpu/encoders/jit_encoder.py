@@ -61,6 +61,12 @@ class JitImageTextEncoder(BaseEncoder):
         self.mesh = mesh
         if mesh is not None:
             params = jax.device_put(params, replicated(mesh))
+        else:
+            # commit params to the default device once — host-numpy
+            # leaves (e.g. int8 quantized kernels) would otherwise be
+            # re-staged on EVERY jit call (~seconds per batch through
+            # the relay)
+            params = jax.device_put(params)
         self.params = params
         self._image_apply = image_apply
         self._text_apply = text_apply

@@ -92,6 +92,7 @@ def main():
     ap.add_argument("--merge_batch", action="store_true")
     ap.add_argument("--activation", default="gelu")
     ap.add_argument("--act_bf16", action="store_true")
+    ap.add_argument("--int8", action="store_true")
     args = ap.parse_args()
     what = set(args.what.split(","))
 
@@ -160,7 +161,44 @@ def main():
 
         timed_chain(mlp_iter, x2, args.iters, f"fused_ln_mlp/layer (T={T})")
 
-    if {"tune"} & what:
+    if {"int8block"} & what or ({"tune"} & what and args.int8):
+        # W8A8 composed block at bench shapes
+        from emr2a_tpu.ops.attention_block import fused_ln_attention_int8
+        from emr2a_tpu.ops.mlp import fused_ln_mlp_int8, quantize_weight_int8
+
+        x = jnp.asarray(rng.randn(B, 200, d) * 0.5, jnp.bfloat16)
+        mkf = lambda *sh: rng.randn(*sh).astype(np.float32) * 0.02
+        qw = [quantize_weight_int8(mkf(d, d)) for _ in range(4)]
+        qdev = [(jnp.asarray(q), jnp.asarray(sc)) for q, sc in qw]
+        biases = [jnp.asarray(mkf(d), jnp.bfloat16) for _ in range(4)]
+        s1 = jnp.asarray(rng.rand(d) * 0.1 + 1, jnp.bfloat16)
+        b1v = jnp.asarray(mkf(d), jnp.bfloat16)
+        q1, sc1 = (jnp.asarray(a) for a in quantize_weight_int8(mkf(d, m)))
+        q2, sc2 = (jnp.asarray(a) for a in quantize_weight_int8(mkf(m, d)))
+        bb1 = jnp.asarray(mkf(m), jnp.bfloat16)
+        bb2 = jnp.asarray(mkf(d), jnp.bfloat16)
+        s2 = jnp.asarray(rng.rand(d) * 0.1 + 1, jnp.bfloat16)
+        b2v = jnp.asarray(mkf(d), jnp.bfloat16)
+
+        def block_iter8(carry, c):
+            y = fused_ln_attention_int8(
+                carry + (c * 1e-9).astype(carry.dtype), s1, b1v,
+                qdev[0][0], qdev[0][1], biases[0],
+                qdev[1][0], qdev[1][1], biases[1],
+                qdev[2][0], qdev[2][1], biases[2],
+                qdev[3][0], qdev[3][1], biases[3],
+                num_heads=H, head_group=args.head_group,
+                block_b=args.block_b, valid_len=197)
+            y2 = fused_ln_mlp_int8(y.reshape(B * 200, d), s2, b2v,
+                                   q1, sc1, bb1, q2, sc2, bb2,
+                                   tile=args.tile).reshape(B, 200, d)
+            return y2 * jnp.bfloat16(0.5)
+
+        timed_chain(block_iter8, x, args.iters,
+                    f"int8 block bb={args.block_b} hg={args.head_group} "
+                    f"tile={args.tile}")
+
+    if {"tune"} & what and not args.int8:
         # One composed block with explicit kernel parameters (bypasses
         # the picker) — for (block_b, head_group, mlp tile) sweeps.
         from emr2a_tpu.ops.attention_block import fused_ln_attention

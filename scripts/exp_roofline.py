@@ -49,16 +49,21 @@ def rtt():
 def _mm_kernel(x_ref, w_ref, o_ref, *, steps):
     # One matmul per grid step on VMEM-resident operands; the result is
     # written each step (same buffer) so nothing is elided.
+    acc = (jnp.int32 if x_ref.dtype == jnp.int8 else jnp.float32)
     o_ref[:, :] = jax.lax.dot_general(
         x_ref[:, :], w_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x_ref.dtype)
+        preferred_element_type=acc).astype(o_ref.dtype)
 
 
 def mxu_rate(M, K, N, steps=2000, dtype=jnp.bfloat16):
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(M, K) * 0.1, dtype)
-    w = jnp.asarray(rng.randn(K, N) * 0.1, dtype)
+    if dtype == jnp.int8:
+        x = jnp.asarray(rng.randint(-100, 100, (M, K)), jnp.int8)
+        w = jnp.asarray(rng.randint(-100, 100, (K, N)), jnp.int8)
+    else:
+        x = jnp.asarray(rng.randn(M, K) * 0.1, dtype)
+        w = jnp.asarray(rng.randn(K, N) * 0.1, dtype)
     vm = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -66,7 +71,8 @@ def mxu_rate(M, K, N, steps=2000, dtype=jnp.bfloat16):
         grid=(steps,),
         in_specs=[vm((M, K)), vm((K, N))],
         out_specs=vm((M, N)),
-        out_shape=jax.ShapeDtypeStruct((M, N), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, N), jnp.int32 if dtype == jnp.int8 else dtype),
     )
 
     @jax.jit
@@ -105,6 +111,12 @@ def main():
     ap.add_argument("--what", default="all")
     args = ap.parse_args()
     B = args.batch
+
+    if args.what == "int8":
+        for M, K, N in ((256, 768, 3072), (512, 768, 768), (2048, 2048, 2048)):
+            mxu_rate(M, K, N, steps=2000, dtype=jnp.int8)
+            mxu_rate(M, K, N, steps=2000, dtype=jnp.bfloat16)
+        return
 
     if args.what == "mlp_tiles":
         for M in (64, 128, 256, 512):

@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--slices", type=int, default=192)
     ap.add_argument("--batch_size", type=int, default=96)
     ap.add_argument("--data_parallel", action="store_true")
+    ap.add_argument("--precision", default="int8", choices=["int8", "bf16"])
     ap.add_argument("--keep", default=None,
                     help="reuse/keep the cohort under this dir")
     args = ap.parse_args()
@@ -79,8 +80,9 @@ def main():
     if args.data_parallel:
         from emr2a_tpu.parallel.mesh import default_mesh
         mesh = default_mesh()
-    enc = BioMedCLIPEncoder.random_init(fast=True, mesh=mesh,
-                                        max_batch=args.batch_size)
+    enc = BioMedCLIPEncoder.random_init(
+        fast="int8" if args.precision == "int8" else True, mesh=mesh,
+        max_batch=args.batch_size)
     enc.assume_square_sources = True  # CT slices are square
 
     manifest = load_manifest(mpath)
