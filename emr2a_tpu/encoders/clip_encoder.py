@@ -80,6 +80,10 @@ class CLIPEncoder(JitImageTextEncoder):
                 _cast_image_params_bf16, _fast_config)
             config = _fast_config(config)
             params = _cast_image_params_bf16(params)
+            if fast == "int8":
+                from emr2a_tpu.models.quantize import quantize_params_tree
+                params = {**params,
+                          "image": quantize_params_tree(params["image"])}
         self.config = config
         self._image_tower = CLIPImageTower(config)
         self._text_tower = CLIPTextTower(config)

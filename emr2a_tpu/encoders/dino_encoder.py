@@ -8,6 +8,7 @@ returns None :62-64; true batched image path :66-80).
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import List, Optional
 
@@ -45,11 +46,16 @@ def dinov3_config_from_hf(cfg: dict) -> DINOv3Config:
         mlp_bias=cfg.get("mlp_bias", True))
 
 
+logger = logging.getLogger(__name__)
+
 class DINOEncoder(JitImageTextEncoder):
 
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[DINOv3Config] = None, params=None,
                  max_batch: int = 128, fast: bool = False, mesh=None):
+        if fast == "int8":
+            logger.warning("DINOv3 has no W8A8 path (RoPE/LayerScale "
+                           "blocks); using the bf16 fast mode instead")
         if model_path is not None:
             mp = Path(model_path)
             cfg_file = mp / "config.json"

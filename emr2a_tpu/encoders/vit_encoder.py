@@ -64,6 +64,9 @@ class ViTEncoder(JitImageTextEncoder):
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, params)
+            if fast == "int8":
+                from emr2a_tpu.models.quantize import quantize_params_tree
+                params = quantize_params_tree(params)
 
         def image_apply(p, pixels):
             return self._tower.apply({"params": p}, pixels)

@@ -64,3 +64,16 @@ def quantize_tower_params(params: Dict) -> Dict:
     return {name: (quantize_block_params(sub)
                    if name.startswith("block_") else sub)
             for name, sub in params.items()}
+
+
+def quantize_params_tree(params):
+    """Recursively find TransformerBlock levels anywhere in a param
+    tree (any dict level containing a ``block_0`` key) and quantize
+    them; everything else passes through.  Lets every ViT-family
+    encoder (CLIP/BioMedCLIP/timm ViT) share one entry point whatever
+    its tower nesting."""
+    if not isinstance(params, dict):
+        return params
+    if any(k.startswith("block_") for k in params):
+        return quantize_tower_params(params)
+    return {k: quantize_params_tree(v) for k, v in params.items()}

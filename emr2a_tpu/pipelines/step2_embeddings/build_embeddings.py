@@ -48,10 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard image batches over all devices "
                              "(mesh data axis)")
-    parser.add_argument("--fast", action="store_true",
-                        help="bf16 + fused Pallas kernels (TPU only; "
-                             "clip/biomedclip/vit, bf16-only for dino; "
-                             "~1.5x throughput)")
+    parser.add_argument("--fast", nargs="?", const="bf16", default=None,
+                        choices=["bf16", "int8"],
+                        help="fused Pallas kernels, TPU only "
+                             "(clip/biomedclip/vit; bf16-only for dino). "
+                             "'--fast' = bf16 (~1.7x); '--fast int8' = "
+                             "W8A8 trunk (~2.5x, embedding cosine vs f32 "
+                             ">= 0.999)")
     return parser
 
 
@@ -111,7 +114,7 @@ def main(argv=None) -> None:
         logger.info("Data-parallel encoding over %d devices",
                     encoder_kwargs["mesh"].size)
     if args.fast:
-        encoder_kwargs["fast"] = True
+        encoder_kwargs["fast"] = "int8" if args.fast == "int8" else True
     encoder = create_encoder(
         encoder_type=args.encoder_type, device=args.device,
         model_path=args.model_path, **encoder_kwargs)

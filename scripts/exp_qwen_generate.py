@@ -101,7 +101,7 @@ def main():
         print(f"prefill @ bucket 1024 (980 real tokens): {prefill*1000:.1f} ms")
         print(f"decode: {per_tok*1000:.2f} ms/token = {1/per_tok:.1f} tok/s")
         bw = n_params * 2 / per_tok / 1e9
-        print(f"decode param-bandwidth: {bw:.0f} GB/s (chip envelope ~373)")
+        print(f"decode param-bandwidth: {bw:.0f} GB/s (chip stream rate 853)")
 
     if {"vision", "all"} & what:
         tower = QwenVisionTower(cfg.vision)
