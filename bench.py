@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 BASELINE_SLICES_PER_SEC = 5000.0
-BATCH = 96
+BATCH = 128
 N_BATCHES = 21
 
 
