@@ -34,7 +34,11 @@ class QwenVLBackend:
     def __init__(self, model_path: str, device: str = "tpu",
                  config=None, params=None, tokenizer=None,
                  image_processor=None, prompt_bucket: int = 128,
-                 cache_params: bool = True):
+                 cache_params: bool = True, precision: str = "bf16"):
+        """``precision="int8"`` quantizes the decoder projections W8A8
+        (models/quantize.quantize_qwen_text_params) — decode is weight-
+        bandwidth-bound, int8 nearly halves the stream; tiny-model
+        logit corr vs bf16 >= 0.9997, top-1 agreement 1.0."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         if params is None:
@@ -70,6 +74,10 @@ class QwenVLBackend:
         if image_processor is None:
             from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
             image_processor = make_image_processor(config.vision)
+        if precision == "int8":
+            from emr2a_tpu.models.quantize import quantize_qwen_text_params
+            params = {**params, "language_model":
+                      quantize_qwen_text_params(params["language_model"])}
         self.config = config
         self.tokenizer = tokenizer
         self.image_processor = image_processor

@@ -77,3 +77,27 @@ def quantize_params_tree(params):
     if any(k.startswith("block_") for k in params):
         return quantize_tower_params(params)
     return {k: quantize_params_tree(v) for k, v in params.items()}
+
+
+_QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_qwen_text_params(params: Dict) -> Dict:
+    """Qwen text-model params -> W8A8 decoder layers.
+
+    Quantizes the seven projections of every ``layer_i``
+    (models/qwen3_vl.QwenTextDecoderLayer routes on the ``kernel_q``
+    entries via ops/linear_int8).  Embedding table / tied lm_head and
+    norms stay bf16 — the embedding doubles as the lookup table.
+    Serving-only (no VJP).
+    """
+    def one_layer(layer: Dict) -> Dict:
+        out = dict(layer)
+        for proj in _QWEN_PROJS:
+            if proj in layer and "kernel" in layer[proj]:
+                out[proj] = _quantize_dense(layer[proj])
+        return out
+
+    return {name: (one_layer(sub) if name.startswith("layer_") else sub)
+            for name, sub in params.items()}

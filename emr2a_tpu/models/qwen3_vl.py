@@ -375,6 +375,23 @@ def mrope_cos_sin(position_ids: jnp.ndarray, inv_freq: np.ndarray,
 class QwenTextDecoderLayer(nn.Module):
     config: QwenTextConfig
 
+    def _dense(self, name: str, features: int, use_bias: bool, h):
+        """nn.Dense, or the streaming W8A8 kernel when this layer's
+        params carry int8 weights (quantize_qwen_text_params) — decode
+        is weight-bandwidth-bound, int8 halves the stream
+        (ops/linear_int8.py)."""
+        if not self.is_initializing():
+            params = self.variables["params"].get(name)
+            if params is not None and "kernel_q" in params:
+                from emr2a_tpu.ops.linear_int8 import linear_w8a8
+                return linear_w8a8(
+                    h, params["kernel_q"], params["kernel_scale"],
+                    params.get("bias"),
+                    out_dtype=self.config.dtype,
+                    interpret=jax.default_backend() != "tpu")
+        return nn.Dense(features, use_bias=use_bias,
+                        dtype=self.config.dtype, name=name)(h)
+
     @nn.compact
     def __call__(self, x, cos, sin, cache_kv, cache_pos, attn_mask):
         """x: (B, S, D). cache_kv: None or (k, v) with shape
@@ -386,12 +403,9 @@ class QwenTextDecoderLayer(nn.Module):
         hd = cfg.head_dim
 
         h = RMSNorm(cfg.rms_norm_eps, name="input_ln")(x)
-        q = nn.Dense(cfg.num_heads * hd, use_bias=cfg.attention_bias,
-                     dtype=cfg.dtype, name="q_proj")(h)
-        k = nn.Dense(cfg.num_kv_heads * hd, use_bias=cfg.attention_bias,
-                     dtype=cfg.dtype, name="k_proj")(h)
-        v = nn.Dense(cfg.num_kv_heads * hd, use_bias=cfg.attention_bias,
-                     dtype=cfg.dtype, name="v_proj")(h)
+        q = self._dense("q_proj", cfg.num_heads * hd, cfg.attention_bias, h)
+        k = self._dense("k_proj", cfg.num_kv_heads * hd, cfg.attention_bias, h)
+        v = self._dense("v_proj", cfg.num_kv_heads * hd, cfg.attention_bias, h)
         q = q.reshape(B, S, cfg.num_heads, hd)
         k = k.reshape(B, S, cfg.num_kv_heads, hd)
         v = v.reshape(B, S, cfg.num_kv_heads, hd)
@@ -427,17 +441,13 @@ class QwenTextDecoderLayer(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
         attn = attn.reshape(B, S, cfg.num_heads * hd)
-        x = x + nn.Dense(d, use_bias=cfg.attention_bias, dtype=cfg.dtype,
-                         name="o_proj")(attn)
+        x = x + self._dense("o_proj", d, cfg.attention_bias, attn)
 
         h = RMSNorm(cfg.rms_norm_eps, name="post_ln")(x)
         act = ACTIVATIONS[cfg.hidden_act]
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                        dtype=cfg.dtype, name="gate_proj")(h)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False,
-                      dtype=cfg.dtype, name="up_proj")(h)
-        down = nn.Dense(d, use_bias=False, dtype=cfg.dtype,
-                        name="down_proj")(act(gate) * up)
+        gate = self._dense("gate_proj", cfg.intermediate_size, False, h)
+        up = self._dense("up_proj", cfg.intermediate_size, False, h)
+        down = self._dense("down_proj", d, False, act(gate) * up)
         return x + down, new_cache
 
 

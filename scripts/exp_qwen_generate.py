@@ -37,6 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=28)
     ap.add_argument("--what", default="all", help="comma list: text,vision")
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
     args = ap.parse_args()
     what = set(args.what.split(","))
 
@@ -83,6 +84,12 @@ def main():
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"params: {n_params/1e9:.2f}B", flush=True)
 
+        if args.precision == "int8":
+            from emr2a_tpu.models.quantize import quantize_qwen_text_params
+            params = {**params, "language_model":
+                      quantize_qwen_text_params(params["language_model"])}
+            params = jax.device_put(params)
+            jax.block_until_ready(params)
         gen = Qwen3VLGenerator(model, params, eos_token_id=-1)  # never stop
         rng = np.random.RandomState(0)
         prompt = rng.randint(2, 150_000, (1, 980), np.int64)

@@ -58,3 +58,49 @@ def test_quantized_requires_fused(tower, rng):
     x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
     out = vt.apply({"params": qp}, x)
     assert out.shape == (2, 64)
+
+
+def test_quantized_qwen_decoder_matches(rng):
+    """W8A8 decoder projections track the bf16 path (logit correlation
+    and top-1 agreement on a tiny model)."""
+    from emr2a_tpu.models.qwen3_vl import QwenTextConfig, QwenTextModel
+    from emr2a_tpu.models.quantize import quantize_qwen_text_params
+
+    cfg = QwenTextConfig(vocab_size=200, hidden_size=48, num_layers=2,
+                         num_heads=4, num_kv_heads=2, head_dim=12,
+                         intermediate_size=96, mrope_section=(2, 2, 2))
+    m = QwenTextModel(cfg)
+    pos = jnp.asarray(np.broadcast_to(np.arange(7)[None, None], (3, 2, 7)))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, 48)),
+                    pos)["params"]
+    x = jnp.asarray(rng.randn(2, 7, 48) * 0.5, jnp.float32)
+    ref, _ = m.apply({"params": params}, x, pos)
+    got, _ = m.apply({"params": quantize_qwen_text_params(params)}, x, pos)
+    a, b = np.asarray(ref, np.float64), np.asarray(got, np.float64)
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.9
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_int8_backend_generates(rng):
+    """QwenVLBackend(precision="int8") generates through the streaming
+    W8A8 linear kernel end-to-end."""
+    pytest.importorskip("torch")
+    from tests.test_qwen3_vl_parity import tiny_hf_model
+    from tests.test_qwen_encoder_backend import ToyTokenizer
+    from emr2a_tpu.models.qwen3_vl import (convert_hf_qwen3_vl,
+                                           qwen3_vl_config_from_hf)
+    from emr2a_tpu.judge.qwen_backend import QwenVLBackend
+    from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
+
+    model, cfg = tiny_hf_model()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    mycfg = qwen3_vl_config_from_hf(cfg.to_dict())
+    be = QwenVLBackend(
+        None, config=mycfg, params=convert_hf_qwen3_vl(sd, 3, 2),
+        tokenizer=ToyTokenizer(),
+        image_processor=make_image_processor(mycfg.vision, min_pixels=16,
+                                             max_pixels=16384),
+        precision="int8")
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    out = be.generate([img], "describe", max_new_tokens=4)
+    assert isinstance(out, str) and out
