@@ -132,7 +132,8 @@ class VLMAuditModule:
                  max_retries: int = 3, accept_threshold: float = 0.7,
                  reject_threshold: float = 0.7,
                  abstain_threshold: float = 0.5,
-                 backend: Optional[VLMBackend] = None):
+                 backend: Optional[VLMBackend] = None,
+                 precision: str = "bf16"):
         self.model_path = model_path
         self.device = device
         self.max_retries = max_retries
@@ -140,7 +141,7 @@ class VLMAuditModule:
         self.reject_threshold = reject_threshold
         self.abstain_threshold = abstain_threshold
         self.backend = backend if backend is not None \
-            else load_backend(model_path, device)
+            else load_backend(model_path, device, precision=precision)
 
     # -- evidence --
 

@@ -51,12 +51,14 @@ class FakeVLMBackend:
         return out
 
 
-def load_backend(model_path: Optional[str], device: str = "tpu"
-                 ) -> Optional[VLMBackend]:
+def load_backend(model_path: Optional[str], device: str = "tpu",
+                 precision: str = "bf16") -> Optional[VLMBackend]:
     """Resolve a generation backend from a model path.
 
     - ``fake:`` prefix (or ``fake``) → FakeVLMBackend
     - a directory with a Qwen3-VL checkpoint → JAX Qwen backend
+      (``precision="int8"`` = W8A8 decoder serving, ~1.5x decode —
+      docs/PERF_NOTES.md)
     - None / load failure → None (callers degrade to abstain, matching
       the reference's skip-and-continue semantics)
     """
@@ -68,7 +70,7 @@ def load_backend(model_path: Optional[str], device: str = "tpu"
         return FakeVLMBackend()
     try:
         from emr2a_tpu.judge.qwen_backend import QwenVLBackend
-        return QwenVLBackend(mp, device=device)
+        return QwenVLBackend(mp, device=device, precision=precision)
     except Exception as e:
         logger.error("Failed to load VLM backend from %s: %s", model_path, e)
         return None

@@ -80,7 +80,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            reject_threshold: float = 0.7,
                            abstain_threshold: float = 0.5,
                            conservative: bool = False,
-                           backend=None) -> Dict:
+                           backend=None, precision: str = "bf16") -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
 
@@ -151,7 +151,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
     logger.info("Processing %d samples for VLM audit", len(query_patients))
 
     audit_module = VLMAuditModule(
-        model_path=model_path, device=device,
+        model_path=model_path, device=device, precision=precision,
         accept_threshold=accept_threshold, reject_threshold=reject_threshold,
         abstain_threshold=abstain_threshold, backend=backend)
 
@@ -263,6 +263,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output_dir", type=str, default="outputs/vlm_audit")
     parser.add_argument("--max_samples", type=int, default=30)
     parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--precision", default="bf16",
+                        choices=["bf16", "int8"],
+                        help="judge decoder precision; int8 = W8A8 "
+                             "serving, ~1.5x decode throughput")
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--accept_threshold", type=float, default=0.7)
@@ -286,6 +290,7 @@ def main(argv=None) -> None:
         exp_dir=Path(args.exp_dir), manifest_path=Path(args.manifest_path),
         output_dir=Path(args.output_dir), max_samples=args.max_samples,
         model_path=args.model_path, device=args.device, seed=args.seed,
+        precision=args.precision,
         accept_threshold=args.accept_threshold,
         reject_threshold=args.reject_threshold,
         abstain_threshold=args.abstain_threshold,
