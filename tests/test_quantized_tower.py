@@ -103,4 +103,7 @@ def test_int8_backend_generates(rng):
         precision="int8")
     img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
     out = be.generate([img], "describe", max_new_tokens=4)
-    assert isinstance(out, str) and out
+    # the random-init model may emit eos first (prompt ids depend on
+    # PYTHONHASHSEED via the toy tokenizer), so only the type and the
+    # no-crash path are meaningful
+    assert isinstance(out, str)
