@@ -118,8 +118,12 @@ class TransformerBlock(nn.Module):
         if (self.fused_attn and x.ndim == 3 and mask is None
                 and self.qkv_bias and not self.is_initializing()):
             from emr2a_tpu.ops.attention_block import pick_fused_attn_params
+            # int8 weights halve residency — W8A8 params unlock shapes
+            # (e.g. CLIP ViT-L/336) the bf16 budget rejects
+            w8 = "kernel_q" in self.variables["params"]["attn"]["q_proj"]
             fused_params = pick_fused_attn_params(
-                x.shape[-1], x.shape[1], self.num_heads)
+                x.shape[-1], x.shape[1], self.num_heads,
+                weight_itemsize=1 if w8 else 2)
         # Off-TPU (CPU-mesh tests, dryrun_multichip) the same kernels
         # run in Pallas interpret mode, so the fast path's code path —
         # not an einsum stand-in — is what multi-chip dryruns validate.

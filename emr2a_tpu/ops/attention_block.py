@@ -52,14 +52,15 @@ def _divisor_at_most(n: int, cap: int) -> int:
 
 
 def fused_attn_vmem_bytes(d: int, S: int, num_heads: int, head_group: int,
-                          block_b: int, itemsize: int = 2) -> int:
+                          block_b: int, itemsize: int = 2,
+                          weight_itemsize: int = None) -> int:
     """VMEM estimate for one grid step: 4 d×d weight copies, k/v
     pad scratch, the double-buffered in/out batch tiles, and the f32
     logits scratch."""
     sq = -(-S // 8) * 8
     sp = -(-sq // 128) * 128
     hg = _divisor_at_most(num_heads, head_group)
-    weights = 4 * d * d * itemsize
+    weights = 4 * d * d * (weight_itemsize or itemsize)
     kv_scratch = 2 * sp * d * itemsize
     tiles = 4 * block_b * sq * d * itemsize  # in+out, each double-buffered
     logits = hg * sq * sp * 4
@@ -67,16 +68,19 @@ def fused_attn_vmem_bytes(d: int, S: int, num_heads: int, head_group: int,
 
 
 def pick_fused_attn_params(d: int, S: int, num_heads: int,
-                           budget: int = VMEM_BUDGET_BYTES):
+                           budget: int = VMEM_BUDGET_BYTES,
+                           weight_itemsize: int = 2):
     """Largest (block_b, head_group) fitting the VMEM budget, preferring
     batch blocking (more MXU work per grid step) over softmax grouping.
+    ``weight_itemsize=1`` for W8A8 params — int8 weight residency is
+    half, which lets ViT-L-class shapes fit that bf16 cannot.
     Returns None when even the minimal configuration exceeds VMEM — the
-    caller should use the unfused einsum path then (e.g. very large
-    hidden/seq combinations)."""
+    caller should use the unfused einsum path then."""
     for block_b in (4, 2, 1):
         for head_group in (6, 4, 3, 2, 1):
             hg = _divisor_at_most(num_heads, head_group)
-            if fused_attn_vmem_bytes(d, S, num_heads, hg, block_b) <= budget:
+            if fused_attn_vmem_bytes(d, S, num_heads, hg, block_b,
+                                     weight_itemsize=weight_itemsize) <= budget:
                 return block_b, hg
     return None
 

@@ -190,3 +190,50 @@ def test_merged_batch_variant_matches(rng, block_b, valid_len):
                                 merge_batch=True, **kw)
     np.testing.assert_allclose(np.asarray(merged), np.asarray(base),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_vit_l_unlocked_by_int8_weights():
+    """ViT-L/336 (d=1024, S=577) exceeds the bf16 VMEM budget (einsum
+    fallback), but int8 weight residency fits — quantized params get
+    the fused path."""
+    from emr2a_tpu.ops.attention_block import (fused_attn_vmem_bytes,
+                                               pick_fused_attn_params)
+    assert pick_fused_attn_params(1024, 577, 16) is None
+    picked = pick_fused_attn_params(1024, 577, 16, weight_itemsize=1)
+    assert picked is not None
+    bb, hg = picked
+    assert fused_attn_vmem_bytes(1024, 577, 16, hg, bb,
+                                 weight_itemsize=1) <= 14 * 2 ** 20
+
+
+def test_int8_attention_vit_l_dims(rng):
+    """W8A8 kernel numerics at ViT-L dims (d=1024, S=577, 16 heads)
+    with the picked parameters, interpret mode."""
+    import jax.numpy as jnp
+    from emr2a_tpu.ops.attention_block import (fused_ln_attention,
+                                               fused_ln_attention_int8,
+                                               pick_fused_attn_params)
+    from emr2a_tpu.ops.mlp import quantize_weight_int8
+
+    B, S, d, H = 1, 577, 1024, 16
+    bb, hg = pick_fused_attn_params(d, S, H, weight_itemsize=1)
+    x = jnp.asarray(rng.randn(B, S, d) * 0.5, jnp.float32)
+    mk = lambda *sh: rng.randn(*sh).astype(np.float32) * 0.05
+    ws = [mk(d, d) for _ in range(4)]
+    bs = [mk(d) for _ in range(4)]
+    s1, b1 = mk(d) + 1, mk(d)
+    ref = fused_ln_attention(
+        x, jnp.asarray(s1), jnp.asarray(b1),
+        *(jnp.asarray(a) for pair in zip(ws, bs) for a in pair),
+        num_heads=H, head_group=hg, block_b=bb, interpret=True)
+    qs = [quantize_weight_int8(w) for w in ws]
+    got = fused_ln_attention_int8(
+        x, jnp.asarray(s1), jnp.asarray(b1),
+        *(jnp.asarray(a) for (q, sc), b in zip(qs, bs)
+          for a in (q, sc, b)),
+        num_heads=H, head_group=hg, block_b=bb, interpret=True)
+    a = np.asarray(ref, np.float64).reshape(-1, d)
+    b = np.asarray(got, np.float64).reshape(-1, d)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
+                            * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.999
