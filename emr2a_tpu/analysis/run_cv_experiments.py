@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sample_n_per_patient", type=int, default=4)
     parser.add_argument("--sampling_strategy", default="uniform",
                         choices=["uniform", "random"])
+    parser.add_argument("--fast", nargs="?", const="bf16", default=None,
+                        choices=["bf16", "int8"],
+                        help="fused Pallas image encoding (TPU; "
+                             "clip/biomedclip/vit) — same semantics as "
+                             "step2 --fast")
     parser.add_argument("--skip_encoding", action="store_true")
     parser.add_argument("--embeddings_path", default=None)
     return parser
@@ -105,7 +110,7 @@ def load_or_encode_embeddings(
         sample_n_per_patient: Optional[int] = None,
         sampling_strategy: str = "uniform", skip_encoding: bool = False,
         embeddings_path: Optional[str] = None,
-        fusion: str = "concat") -> Dict[str, Dict[str, np.ndarray]]:
+        fusion: str = "concat", fast=None) -> Dict[str, Dict[str, np.ndarray]]:
     embeddings_dir = Path(config.features_dir)
 
     if skip_encoding and embeddings_path:
@@ -126,7 +131,9 @@ def load_or_encode_embeddings(
 
     if fusion != "text_only":
         logger.info("Encoding images with %s...", image_encoder_type)
-        image_encoder = create_encoder(image_encoder_type, device=device)
+        enc_kwargs = {"fast": fast} if fast else {}
+        image_encoder = create_encoder(image_encoder_type, device=device,
+                                       **enc_kwargs)
         for record in manifest:
             pid = record.get("patient_id")
             slices = record.get("slices", [])
@@ -237,7 +244,8 @@ def run_experiment(args, config: BaseConfig, experiment_id: str,
         sample_n_per_patient=args.sample_n_per_patient,
         sampling_strategy=args.sampling_strategy,
         skip_encoding=args.skip_encoding,
-        embeddings_path=args.embeddings_path, fusion=args.fusion)
+        embeddings_path=args.embeddings_path, fusion=args.fusion,
+        fast="int8" if args.fast == "int8" else bool(args.fast) or None)
 
     if shuffle_text:
         logger.info("Shuffling text embeddings across patients (sanity check)")
