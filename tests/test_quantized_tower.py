@@ -107,3 +107,21 @@ def test_int8_backend_generates(rng):
     # PYTHONHASHSEED via the toy tokenizer), so only the type and the
     # no-crash path are meaningful
     assert isinstance(out, str)
+
+
+def test_quantized_dp_inference(mesh8):
+    """fast="int8" composes with data-parallel inference: the W8A8
+    kernels run per-chip inside shard_map (step2 --data_parallel
+    --fast int8)."""
+    from emr2a_tpu.encoders.biomedclip_encoder import BioMedCLIPEncoder
+
+    enc = BioMedCLIPEncoder.random_init(fast="int8", mesh=mesh8,
+                                        max_batch=16)
+    rng_ = np.random.RandomState(0)
+    imgs = [(rng_.rand(224, 224, 3) * 255).astype(np.uint8)
+            for _ in range(16)]
+    out = enc.encode_batch_images(imgs)
+    assert all(e is not None and np.isfinite(e).all() for e in out)
+    norms = [np.linalg.norm(e) for e in out]
+    # bf16 feature normalization: ~1e-3 deviation is precision, not dp
+    assert all(abs(n - 1) < 2e-2 for n in norms)
