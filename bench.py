@@ -55,7 +55,8 @@ def main() -> None:
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
     import os
-    if os.environ.get("EMR2A_BENCH_PRECISION", "int8") == "int8":
+    precision = os.environ.get("EMR2A_BENCH_PRECISION", "int8")
+    if precision == "int8":
         from emr2a_tpu.models.quantize import quantize_tower_params
         params = {**params, "trunk": quantize_tower_params(params["trunk"])}
     params = jax.device_put(params)
@@ -97,6 +98,11 @@ def main() -> None:
         "value": round(slices_per_sec, 1),
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 3),
+        # self-describing run conditions: int8 = W8A8 trunk (cosine vs
+        # f32 >= 0.999, fold metrics invariant — tests/test_reference_
+        # parity.py), bf16 = unquantized. Keep both rows in PERF_NOTES.
+        "precision": precision,
+        "batch": BATCH,
     }))
 
 

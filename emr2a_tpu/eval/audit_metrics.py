@@ -49,7 +49,9 @@ class SelectivePredictionMetrics:
         self.accuracy_curve = accuracy.tolist()
         self.thresholds = acceptance[order].tolist()
         risks = 1.0 - accuracy
-        self.aurc = float(np.trapezoid(risks, coverage))
+        # np.trapezoid is NumPy>=2 only; fall back on the old name.
+        trapezoid = getattr(np, "trapezoid", np.trapz)
+        self.aurc = float(trapezoid(risks, coverage))
         return {
             "coverage_curve": self.coverage_curve,
             "accuracy_curve": self.accuracy_curve,

@@ -41,8 +41,8 @@ def select_even_slices(slice_paths: Sequence[str], num_slices: int = 4
         return []
     if n <= num_slices:
         return list(slice_paths)
-    picks = (slice_paths[int(i * (n - 1) / (num_slices - 1))]
-             for i in range(num_slices))
+    step = (n - 1) / max(num_slices - 1, 1)  # num_slices==1 -> first slice
+    picks = (slice_paths[int(i * step)] for i in range(num_slices))
     return list(dict.fromkeys(picks))
 
 

@@ -6,7 +6,7 @@ exact fallback order preserved:
 
 1. thinking models: take the text after ``</think>`` and extract JSON;
 2. JSON anywhere in the full text (fenced block → direct parse →
-   string-aware brace scanner, later objects preferred);
+   ``raw_decode`` scan over "{" positions, later objects preferred);
 3. regex mining of decision/confidence/neighbors from thinking prose;
 4. keyword fallback over the raw text.
 
@@ -39,8 +39,8 @@ def strip_thinking(text: str) -> Optional[str]:
 
 def extract_json_payload(raw_output: str) -> Optional[Dict]:
     """Find a JSON object: fenced block → whole-string parse →
-    brace-matched candidates scanned right-to-left (the model's final
-    answer usually comes last)."""
+    incremental ``raw_decode`` over the text (the model's final answer
+    usually comes last, so the last object wins)."""
     if not raw_output:
         return None
     text = raw_output.strip()
@@ -65,37 +65,38 @@ def extract_json_payload(raw_output: str) -> Optional[Dict]:
         if obj is not None:
             return obj
 
-    # String-aware brace matcher collecting top-level {...} spans.
-    spans: List[str] = []
-    depth = 0
-    start = None
-    in_string = False
-    escape = False
-    for i, ch in enumerate(text):
-        if in_string:
-            if escape:
-                escape = False
-            elif ch == "\\":
-                escape = True
-            elif ch == '"':
-                in_string = False
+    # Scan for embedded objects with the stdlib's incremental decoder:
+    # ``raw_decode`` at each "{" yields the object and where it ends,
+    # so string escapes / nested braces are the decoder's problem, not
+    # ours.  Later objects are preferred (the model's final answer
+    # usually comes last).
+    decoder = json.JSONDecoder()
+    found: List[Dict] = []
+    pos = text.find("{")
+    while pos != -1:
+        try:
+            obj, end = decoder.raw_decode(text, pos)
+        except ValueError:
+            pos = text.find("{", pos + 1)
             continue
-        if ch == '"':
-            in_string = True
-        elif ch == "{":
-            if depth == 0:
-                start = i
-            depth += 1
-        elif ch == "}" and depth > 0:
-            depth -= 1
-            if depth == 0 and start is not None:
-                spans.append(text[start:i + 1])
-                start = None
+        if isinstance(obj, dict):
+            found.append(obj)
+        pos = text.find("{", max(end, pos + 1))
+    if found:
+        return found[-1]
 
-    for candidate in reversed(spans):
-        obj = try_parse(candidate)
-        if obj is not None:
-            return obj
+    # Python-literal dicts (single quotes) embedded in prose: grow each
+    # trailing "{...}"-bounded slice until ``ast.literal_eval`` accepts
+    # it, scanning right-to-left so later objects still win.
+    for m_open in reversed(list(re.finditer(r"\{", text))):
+        start = m_open.start()
+        for m_close in re.finditer(r"\}", text[start:]):
+            try:
+                obj = ast.literal_eval(text[start:start + m_close.end()])
+            except (ValueError, SyntaxError, MemoryError, RecursionError):
+                continue
+            if isinstance(obj, dict):
+                return obj
     return None
 
 

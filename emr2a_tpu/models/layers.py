@@ -34,6 +34,35 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
+def _dequantized_dense(entry):
+    """W8A8 dense params -> float params (kernel = kernel_q * scale).
+
+    Fallback when quantized params meet a path the fused Pallas kernels
+    don't cover (external mask, biasless QKV, oversized shapes): the
+    einsum modules below only know ``kernel``, so rebuild it.  Costs
+    one extra elementwise pass over the weights — correctness fallback,
+    not the fast path.
+    """
+    if "kernel_q" not in entry:
+        return entry
+    out = {k: v for k, v in entry.items()
+           if k not in ("kernel_q", "kernel_scale")}
+    out["kernel"] = (entry["kernel_q"].astype(jnp.float32)
+                     * entry["kernel_scale"])
+    return out
+
+
+def dequantize_params_tree(params):
+    """Recursively rebuild float kernels from W8A8 entries anywhere in
+    a param tree (inverse of models/quantize.quantize_params_tree, up
+    to quantization error)."""
+    if not isinstance(params, dict):
+        return params
+    if "kernel_q" in params:
+        return _dequantized_dense(params)
+    return {k: dequantize_params_tree(v) for k, v in params.items()}
+
+
 class MultiHeadAttention(nn.Module):
     """Standard MHA with separate q/k/v/out projections and optional
     additive attention bias/mask.  Softmax in f32."""
@@ -171,9 +200,20 @@ class TransformerBlock(nn.Module):
         else:
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln1")(x)
-            x = x + MultiHeadAttention(
-                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-                dtype=self.dtype, name="attn")(h, mask)
+            if (not self.is_initializing() and "kernel_q"
+                    in self.variables["params"]["attn"]["q_proj"]):
+                # Quantized params on the einsum fallback: dequantize
+                # so the Dense lookups find ``kernel`` (the fused int8
+                # kernel can't take external masks / odd shapes).
+                x = x + MultiHeadAttention(
+                    num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                    dtype=self.dtype, parent=None).apply(
+                        {"params": dequantize_params_tree(
+                            self.variables["params"]["attn"])}, h, mask)
+            else:
+                x = x + MultiHeadAttention(
+                    num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                    dtype=self.dtype, name="attn")(h, mask)
         if self.fused_mlp and x.ndim == 3:
             from emr2a_tpu.ops.mlp import fused_ln_mlp
             ln2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
@@ -217,8 +257,16 @@ class TransformerBlock(nn.Module):
                     interpret=interpret)
             return out.reshape(B, S, d)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x)
-        x = x + Mlp(self.mlp_dim, activation=self.activation,
-                    dtype=self.dtype, name="mlp")(h)
+        if (not self.is_initializing()
+                and "kernel_q" in self.variables["params"]["mlp"]["fc1"]):
+            # Same dequantizing fallback for the MLP half.
+            x = x + Mlp(self.mlp_dim, activation=self.activation,
+                        dtype=self.dtype, parent=None).apply(
+                            {"params": dequantize_params_tree(
+                                self.variables["params"]["mlp"])}, h)
+        else:
+            x = x + Mlp(self.mlp_dim, activation=self.activation,
+                        dtype=self.dtype, name="mlp")(h)
         return x
 
 

@@ -81,9 +81,32 @@ def test_quantized_qwen_decoder_matches(rng):
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
 
 
-def test_int8_backend_generates(rng):
+def test_quantized_params_on_einsum_path_dequantize(tower, rng):
+    """Quantized params meeting the non-fused (einsum) path must
+    dequantize on the fly, not crash on a missing 'kernel' (advisor
+    round-2 finding): same params, fused kernels off, output still
+    tracks the float tower."""
+    vt, params = tower
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64,
+                    num_layers=3, num_heads=4, mlp_dim=128,
+                    pooling="cls_ln", use_pre_layernorm=True,
+                    fused_mlp=False, fused_attn=False)
+    plain = VisionTransformer(cfg)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3) * 0.5, jnp.float32)
+    ref = np.asarray(plain.apply({"params": params}, x), np.float64)
+    got = np.asarray(plain.apply({"params": quantize_tower_params(params)},
+                                 x), np.float64)
+    cos = (ref * got).sum(1) / (np.linalg.norm(ref, axis=1)
+                                * np.linalg.norm(got, axis=1))
+    # weight-only quantization error (activations stay float here)
+    assert cos.min() > 0.999, cos
+
+
+def test_int8_backend_matches_bf16_tokens(rng):
     """QwenVLBackend(precision="int8") generates through the streaming
-    W8A8 linear kernel end-to-end."""
+    W8A8 linear kernel end-to-end AND its greedy tokens agree with the
+    bf16 backend (the toy tokenizer is crc32-deterministic, so the
+    prompts are identical across backends and processes)."""
     pytest.importorskip("torch")
     from tests.test_qwen3_vl_parity import tiny_hf_model
     from tests.test_qwen_encoder_backend import ToyTokenizer
@@ -95,18 +118,22 @@ def test_int8_backend_generates(rng):
     model, cfg = tiny_hf_model()
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     mycfg = qwen3_vl_config_from_hf(cfg.to_dict())
-    be = QwenVLBackend(
-        None, config=mycfg, params=convert_hf_qwen3_vl(sd, 3, 2),
-        tokenizer=ToyTokenizer(),
-        image_processor=make_image_processor(mycfg.vision, min_pixels=16,
-                                             max_pixels=16384),
-        precision="int8")
+    params = convert_hf_qwen3_vl(sd, 3, 2)
+    proc = make_image_processor(mycfg.vision, min_pixels=16,
+                                max_pixels=16384)
     img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
-    out = be.generate([img], "describe", max_new_tokens=4)
-    # the random-init model may emit eos first (prompt ids depend on
-    # PYTHONHASHSEED via the toy tokenizer), so only the type and the
-    # no-crash path are meaningful
-    assert isinstance(out, str)
+
+    outs = {}
+    for precision in ("bf16", "int8"):
+        be = QwenVLBackend(None, config=mycfg, params=params,
+                           tokenizer=ToyTokenizer(), image_processor=proc,
+                           precision=precision)
+        outs[precision] = be.generate([img], "describe", max_new_tokens=8)
+    assert isinstance(outs["int8"], str)
+    # greedy decode: the tiny model's int8 logits keep 100% top-1
+    # agreement with bf16 (see test_quantized_qwen_decoder_matches), so
+    # the emitted token strings must match exactly
+    assert outs["int8"] == outs["bf16"], outs
 
 
 def test_quantized_dp_inference(mesh8):

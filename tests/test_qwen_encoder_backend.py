@@ -12,17 +12,19 @@ from emr2a_tpu.models.qwen3_vl import convert_hf_qwen3_vl
 
 
 class ToyTokenizer:
-    """Minimal tokenizer: hash words to ids, image placeholder = 190."""
+    """Minimal tokenizer: crc32 words to ids (deterministic across
+    processes, unlike ``hash``), image placeholder = 190."""
 
     eos_token_id = 1
 
     SPECIALS = {"<IMG>": 190, "<VS>": 192, "<VE>": 193}
 
     def __call__(self, text, add_special_tokens=False, return_tensors=None):
+        import zlib
         text = (text.replace("<|image_pad|>", " <IMG> ")
                 .replace("<|vision_start|>", " <VS> ")
                 .replace("<|vision_end|>", " <VE> "))
-        ids = [self.SPECIALS.get(tok, hash(tok) % 150 + 2)
+        ids = [self.SPECIALS.get(tok, zlib.crc32(tok.encode()) % 150 + 2)
                for tok in text.split()]
         if return_tensors == "np":
             return {"input_ids": np.asarray([ids], dtype=np.int64)}

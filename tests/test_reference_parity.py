@@ -111,3 +111,58 @@ def test_cv_splits_match_sklearn(rng):
     for (train_ids, test_ids), (tr_idx, te_idx) in zip(splits, skf.split(pids, labs)):
         assert train_ids == [pids[i] for i in tr_idx]
         assert test_ids == [pids[i] for i in te_idx]
+
+
+def test_int8_tower_embeddings_preserve_fold_metrics(rng):
+    """The W8A8 claim the BASELINE parity row rests on: embeddings from
+    the quantized tower, composed through the full CV evaluator, yield
+    the SAME fold metrics (top1/3/5, vote, weighted vote, macro-F1) as
+    the float tower.  Cosine >= 0.999 alone (test_quantized_tower)
+    doesn't imply this; here it's asserted end-to-end on separable
+    synthetic classes (the regime where retrieval metrics are
+    meaningful — near-tie data would measure tie-breaking, not
+    quantization)."""
+    import jax
+    import jax.numpy as jnp
+    from emr2a_tpu.models.quantize import quantize_tower_params
+    from emr2a_tpu.models.vit import ViTConfig, VisionTransformer
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64,
+                    num_layers=2, num_heads=4, mlp_dim=128,
+                    pooling="cls_ln", use_pre_layernorm=True,
+                    fused_mlp=True, fused_attn=True)
+    vt = VisionTransformer(cfg)
+    params = vt.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 32, 32, 3)))["params"]
+    qparams = quantize_tower_params(params)
+
+    n, classes = 40, ["A", "B", "C", "D"]
+    labs = [classes[i % 4] for i in range(n)]
+    pids = [f"p{i}" for i in range(n)]
+    bases = rng.rand(4, 32, 32, 3) * 2 - 1
+    images = np.stack([bases[i % 4] + rng.randn(32, 32, 3) * 0.05
+                       for i in range(n)]).astype(np.float32)
+    txt = np.stack([rng.randn(16) * 0.1 +
+                    np.eye(4)[i % 4].repeat(4) for i in range(n)])
+
+    emb_f = np.asarray(vt.apply({"params": params}, jnp.asarray(images)),
+                       np.float64)
+    emb_q = np.asarray(vt.apply({"params": qparams}, jnp.asarray(images)),
+                       np.float64)
+    cos = (emb_f * emb_q).sum(1) / (np.linalg.norm(emb_f, axis=1)
+                                    * np.linalg.norm(emb_q, axis=1))
+    assert cos.min() > 0.999  # precondition, not the claim under test
+
+    ev = CVRetrievalEvaluator(cv_folds=5, pca_dim=16, top_k=5, seed=42)
+    results = {}
+    for name, emb in (("float", emb_f), ("int8", emb_q)):
+        packed = {p: {"image": emb[i], "text": txt[i]}
+                  for i, p in enumerate(pids)}
+        results[name] = ev.run_cv(pids, labs, packed, fusion="concat")
+
+    for rf, rq in zip(results["float"]["fold_results"],
+                      results["int8"]["fold_results"]):
+        for metric in ("top1", "top3", "top5", "vote_acc",
+                       "weighted_vote_acc", "macro_precision",
+                       "macro_recall", "macro_f1"):
+            assert rf[metric] == rq[metric], (metric, rf[metric], rq[metric])
