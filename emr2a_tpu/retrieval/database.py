@@ -273,13 +273,14 @@ class ShardedEmbeddingDatabase:
     @classmethod
     def load(cls, path, mesh: Optional[Mesh] = None,
              dtype: jnp.dtype = jnp.float32,
-             use_pallas: bool = False) -> "ShardedEmbeddingDatabase":
+             use_pallas: bool = False,
+             capacity: Optional[int] = None) -> "ShardedEmbeddingDatabase":
         data = np.load(path, allow_pickle=True)
         labels = [str(x) for x in data["labels"]] if "labels" in data else None
         ids = [str(x) for x in data["ids"]] if "ids" in data else None
         return cls(data["embeddings"], labels=labels, ids=ids, mesh=mesh,
                    normalize=False,  # stored pre-normalized
-                   dtype=dtype, use_pallas=use_pallas)
+                   dtype=dtype, use_pallas=use_pallas, capacity=capacity)
 
     def search(self, queries: np.ndarray, k: int, normalize: bool = True
                ) -> List[List[dict]]:
@@ -301,3 +302,8 @@ class ShardedEmbeddingDatabase:
                 hits.append(hit)
             out.append(hits)
         return out
+
+
+if __name__ == "__main__":  # python -m emr2a_tpu.retrieval.database
+    from emr2a_tpu.retrieval.database_cli import main
+    main()

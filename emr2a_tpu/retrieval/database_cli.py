@@ -1,0 +1,193 @@
+"""CLI for the mesh-sharded embedding database.
+
+User-facing entry to the 1M-scale retrieval path (the TPU-native
+replacement for the reference's per-query numpy scan,
+utils/cv_evaluator.py:107-130):
+
+    python -m emr2a_tpu.retrieval.database build \
+        --embeddings_path outputs/features/embeddings.npz \
+        --manifest_path outputs/manifest.jsonl --db outputs/db.npz
+    python -m emr2a_tpu.retrieval.database query \
+        --db outputs/db.npz --queries_path queries.npz --k 5 \
+        --dtype int8 --output outputs/hits.jsonl
+    python -m emr2a_tpu.retrieval.database add \
+        --db outputs/db.npz --embeddings_path new.npz \
+        --manifest_path new_manifest.jsonl
+
+``build``/``add`` consume the step2 artifact (``embeddings.npz`` keyed
+by patient_id, (n_slices, dim) per patient) plus the step1 manifest for
+labels; per-patient embeddings are slice-means, exactly the step3
+protocol (pipelines/step3_retrieval/evaluate_retrieval.py).  ``query``
+loads the persisted database sharded over the mesh ``data`` axis
+(``--dtype int8`` streams a 4x-smaller DB through HBM) and writes one
+JSON line per query: {"query_id", "hits": [{index, score, label,
+patient_id}]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DTYPES = ("f32", "bf16", "int8")
+
+
+def _resolve_dtype(name: str):
+    import jax.numpy as jnp
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[name]
+
+
+def _load_patient_means(embeddings_path: Path) -> Dict[str, np.ndarray]:
+    """step2 npz (patient_id -> (n_slices, dim)) -> patient_id -> (dim,)
+    slice-mean, the step3 retrieval protocol."""
+    data = np.load(embeddings_path)
+    out = {}
+    for pid in data.files:
+        emb = np.asarray(data[pid], np.float32)
+        out[pid] = emb.mean(axis=0) if emb.ndim == 2 else emb
+    return out
+
+
+def _labels_from_manifest(manifest_path: Optional[str]) -> Dict[str, str]:
+    if not manifest_path:
+        return {}
+    from emr2a_tpu.data.manifest import load_manifest
+    return {r.get("patient_id"): r.get("label", "unknown")
+            for r in load_manifest(manifest_path)}
+
+
+def cmd_build(args) -> None:
+    from emr2a_tpu.retrieval.database import ShardedEmbeddingDatabase
+
+    means = _load_patient_means(Path(args.embeddings_path))
+    pid_to_label = _labels_from_manifest(args.manifest_path)
+    ids = sorted(means)
+    emb = np.stack([means[p] for p in ids])
+    labels = [pid_to_label.get(p, "unknown") for p in ids]
+
+    db = ShardedEmbeddingDatabase(
+        emb, labels=labels, ids=ids, dtype=_resolve_dtype(args.dtype),
+        capacity=args.capacity, normalize=not args.no_normalize)
+    Path(args.db).parent.mkdir(parents=True, exist_ok=True)
+    db.save(args.db)
+    logger.info("Built database: %d cases x %d dims -> %s",
+                db.n, db.dim, args.db)
+
+
+def cmd_add(args) -> None:
+    from emr2a_tpu.retrieval.database import ShardedEmbeddingDatabase
+
+    db = ShardedEmbeddingDatabase.load(
+        args.db, dtype=_resolve_dtype(args.dtype))
+    means = _load_patient_means(Path(args.embeddings_path))
+    pid_to_label = _labels_from_manifest(args.manifest_path)
+    new_ids = sorted(set(means) - set(db.ids or []))
+    if not new_ids:
+        logger.info("No new cases to add (all %d already present)",
+                    len(means))
+        return
+    emb = np.stack([means[p] for p in new_ids])
+    db.add_cases(emb,
+                 labels=([pid_to_label.get(p, "unknown") for p in new_ids]
+                         if db.labels is not None else None),
+                 ids=new_ids if db.ids is not None else None,
+                 normalize=not args.no_normalize)
+    out = args.output or args.db
+    db.save(out)
+    logger.info("Added %d cases (now %d) -> %s", len(new_ids), db.n, out)
+
+
+def cmd_query(args) -> None:
+    from emr2a_tpu.retrieval.database import ShardedEmbeddingDatabase
+
+    db = ShardedEmbeddingDatabase.load(
+        args.db, dtype=_resolve_dtype(args.dtype),
+        capacity=args.capacity)
+    means = _load_patient_means(Path(args.queries_path))
+    qids = sorted(means)
+    queries = np.stack([means[p] for p in qids])
+
+    t0 = time.time()
+    results = db.search(queries, k=args.k)
+    dt = time.time() - t0
+
+    lines = [json.dumps({"query_id": qid, "hits": hits}, ensure_ascii=False)
+             for qid, hits in zip(qids, results)]
+    if args.output:
+        Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.output).write_text("\n".join(lines) + "\n",
+                                     encoding="utf-8")
+        logger.info("Wrote %d query results -> %s", len(lines), args.output)
+    else:
+        for line in lines:
+            print(line)
+    logger.info("Searched %d queries over %d cases (k=%d, %s) in %.1f ms "
+                "(includes host sync; see scripts/exp_retrieval_scale.py "
+                "for chained-device latency)",
+                len(qids), db.n, args.k, args.dtype, dt * 1e3)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="python -m emr2a_tpu.retrieval.database",
+        description="Mesh-sharded case-retrieval database")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--dtype", choices=_DTYPES, default="f32",
+                        help="device storage dtype (int8: 4x less HBM "
+                             "traffic per scan, |cos err| <~ 1/64)")
+
+    b = sub.add_parser("build", parents=[common],
+                       help="build a database from a step2 embeddings.npz")
+    b.add_argument("--embeddings_path", required=True)
+    b.add_argument("--manifest_path", default=None,
+                   help="step1 manifest.jsonl for case labels")
+    b.add_argument("--db", required=True, help="output database npz path")
+    b.add_argument("--capacity", type=int, default=None,
+                   help="reserve row capacity for streaming add")
+    b.add_argument("--no_normalize", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("add", parents=[common],
+                       help="append new cases to an existing database")
+    a.add_argument("--db", required=True)
+    a.add_argument("--embeddings_path", required=True)
+    a.add_argument("--manifest_path", default=None)
+    a.add_argument("--output", default=None,
+                   help="write updated db here (default: overwrite --db)")
+    a.add_argument("--no_normalize", action="store_true")
+    a.set_defaults(fn=cmd_add)
+
+    q = sub.add_parser("query", parents=[common],
+                       help="top-k search against a built database")
+    q.add_argument("--db", required=True)
+    q.add_argument("--queries_path", required=True,
+                   help="npz of query embeddings (same layout as step2)")
+    q.add_argument("--k", type=int, default=5)
+    q.add_argument("--capacity", type=int, default=None)
+    q.add_argument("--output", default=None,
+                   help="results jsonl path (default: stdout)")
+    q.set_defaults(fn=cmd_query)
+    return parser
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s %(name)s: %(message)s",
+                        stream=sys.stderr)
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
