@@ -65,13 +65,20 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
         if params is None:
             raise ValueError("BioMedCLIPEncoder needs model_path or params")
         if fast:
-            params = _cast_image_params_bf16(params)
+            params = _cast_params_bf16(params)
             if fast == "int8":
-                from emr2a_tpu.models.quantize import quantize_tower_params
-                params = {**params, "image": {
-                    **params["image"],
-                    "trunk": quantize_tower_params(params["image"]["trunk"]),
-                }}
+                from emr2a_tpu.models.quantize import (
+                    quantize_params_tree, quantize_tower_params)
+                params = {
+                    "image": {
+                        **params["image"],
+                        "trunk": quantize_tower_params(
+                            params["image"]["trunk"]),
+                    },
+                    # BERT blocks: W8A8 through the streaming kernel
+                    # (attention keeps its padding mask)
+                    "text": quantize_params_tree(params["text"]),
+                }
         self.config = config
         self.context_length = context_length
         self._image_tower = BioMedCLIPImageTower(config)
@@ -114,27 +121,31 @@ class BioMedCLIPEncoder(JitImageTextEncoder):
 
 
 def _fast_config(config: BioMedCLIPConfig) -> BioMedCLIPConfig:
-    """TPU fast mode: bf16 image tower + fused Pallas LN+attention and
-    LN+MLP kernels (docs/PERF_NOTES.md; embedding cosine vs f32 einsum
-    path >= 0.9999).  ``fast="int8"`` additionally quantizes the trunk
-    blocks W8A8 (models/quantize.py; ~2x MXU rate on v5e, cosine >=
-    0.999).  Off-TPU the kernels run in Pallas interpret mode;
-    inference-only: the Pallas kernels define no VJP, so pass
-    einsum-path towers (fast=False) to ContrastiveTrainer."""
+    """TPU fast mode: bf16 towers; the image tower gets the fused
+    Pallas LN+attention and LN+MLP kernels (docs/PERF_NOTES.md;
+    embedding cosine vs f32 einsum path >= 0.9999).  ``fast="int8"``
+    additionally quantizes both towers' blocks W8A8 (models/quantize.py;
+    ~2x MXU rate on v5e, cosine >= 0.999; the masked BERT attention
+    runs its projections through the streaming int8 kernel).  Off-TPU
+    the kernels run in Pallas interpret mode; inference-only: the
+    Pallas kernels define no VJP, so pass einsum-path towers
+    (fast=False) to ContrastiveTrainer."""
     import dataclasses
     import jax.numpy as jnp
     return dataclasses.replace(
         config,
         vision=dataclasses.replace(config.vision, dtype=jnp.bfloat16,
-                                   fused_mlp=True, fused_attn=True))
+                                   fused_mlp=True, fused_attn=True),
+        text=(dataclasses.replace(config.text, dtype=jnp.bfloat16)
+              if config.text is not None else None))
 
 
-def _cast_image_params_bf16(params):
+def _cast_params_bf16(params):
     import jax
     import jax.numpy as jnp
-    return {**params, "image": jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params["image"])}
+        params)
 
 
 # Reference exports the typo'd class name (encoders/__init__.py) — keep

@@ -77,13 +77,14 @@ class CLIPEncoder(JitImageTextEncoder):
             raise ValueError("CLIPEncoder needs model_path or (config, params)")
         if fast:
             from emr2a_tpu.encoders.biomedclip_encoder import (
-                _cast_image_params_bf16, _fast_config)
+                _cast_params_bf16, _fast_config)
             config = _fast_config(config)
-            params = _cast_image_params_bf16(params)
+            params = _cast_params_bf16(params)
             if fast == "int8":
                 from emr2a_tpu.models.quantize import quantize_params_tree
-                params = {**params,
-                          "image": quantize_params_tree(params["image"])}
+                # both towers: the causal-masked text blocks route
+                # through the streaming int8 kernel
+                params = quantize_params_tree(params)
         self.config = config
         self._image_tower = CLIPImageTower(config)
         self._text_tower = CLIPTextTower(config)

@@ -34,36 +34,32 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
-def _dequantized_dense(entry):
-    """W8A8 dense params -> float params (kernel = kernel_q * scale).
+class _QuantRoutingModule(nn.Module):
+    """Mixin: a dense projection that routes through the streaming
+    W8A8 Pallas kernel when this module's params carry int8 weights
+    (models/quantize.py layout: kernel_q + kernel_scale).
 
-    Fallback when quantized params meet a path the fused Pallas kernels
-    don't cover (external mask, biasless QKV, oversized shapes): the
-    einsum modules below only know ``kernel``, so rebuild it.  Costs
-    one extra elementwise pass over the weights — correctness fallback,
-    not the fast path.
+    This is what makes quantized params work on EVERY tower — masked
+    attention (BERT padding, CLIP causal), biasless QKV, and shapes the
+    fused LN+attention/LN+MLP kernels reject all execute natively in
+    int8 instead of crashing on a missing 'kernel' (advisor round-2
+    finding) or paying a dequantize pass.
     """
-    if "kernel_q" not in entry:
-        return entry
-    out = {k: v for k, v in entry.items()
-           if k not in ("kernel_q", "kernel_scale")}
-    out["kernel"] = (entry["kernel_q"].astype(jnp.float32)
-                     * entry["kernel_scale"])
-    return out
+
+    def _proj(self, name: str, features: int, use_bias: bool, h):
+        if not self.is_initializing():
+            p = self.variables["params"].get(name)
+            if p is not None and "kernel_q" in p:
+                from emr2a_tpu.ops.linear_int8 import linear_w8a8
+                return linear_w8a8(
+                    h, p["kernel_q"], p["kernel_scale"], p.get("bias"),
+                    out_dtype=self.dtype,
+                    interpret=jax.default_backend() != "tpu")
+        return nn.Dense(features, use_bias=use_bias, dtype=self.dtype,
+                        name=name)(h)
 
 
-def dequantize_params_tree(params):
-    """Recursively rebuild float kernels from W8A8 entries anywhere in
-    a param tree (inverse of models/quantize.quantize_params_tree, up
-    to quantization error)."""
-    if not isinstance(params, dict):
-        return params
-    if "kernel_q" in params:
-        return _dequantized_dense(params)
-    return {k: dequantize_params_tree(v) for k, v in params.items()}
-
-
-class MultiHeadAttention(nn.Module):
+class MultiHeadAttention(_QuantRoutingModule):
     """Standard MHA with separate q/k/v/out projections and optional
     additive attention bias/mask.  Softmax in f32."""
 
@@ -79,11 +75,9 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.head_dim or d_model // self.num_heads
         inner = self.num_heads * head_dim
 
-        dense = lambda name, bias: nn.Dense(
-            inner, use_bias=bias, dtype=self.dtype, name=name)
-        q = dense("q_proj", self.qkv_bias)(x)
-        k = dense("k_proj", self.qkv_bias)(x)
-        v = dense("v_proj", self.qkv_bias)(x)
+        q = self._proj("q_proj", inner, self.qkv_bias, x)
+        k = self._proj("k_proj", inner, self.qkv_bias, x)
+        v = self._proj("v_proj", inner, self.qkv_bias, x)
 
         B, S = x.shape[0], x.shape[1]
         shape = (B, S, self.num_heads, head_dim)
@@ -99,11 +93,10 @@ class MultiHeadAttention(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, S, inner)
-        return nn.Dense(d_model, use_bias=self.out_bias, dtype=self.dtype,
-                        name="out_proj")(out)
+        return self._proj("out_proj", d_model, self.out_bias, out)
 
 
-class Mlp(nn.Module):
+class Mlp(_QuantRoutingModule):
     hidden_dim: int
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.float32
@@ -111,9 +104,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         d_model = x.shape[-1]
-        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        h = self._proj("fc1", self.hidden_dim, True, x)
         h = ACTIVATIONS[self.activation](h)
-        return nn.Dense(d_model, dtype=self.dtype, name="fc2")(h)
+        return self._proj("fc2", d_model, True, h)
 
 
 class TransformerBlock(nn.Module):
@@ -200,20 +193,12 @@ class TransformerBlock(nn.Module):
         else:
             h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                              name="ln1")(x)
-            if (not self.is_initializing() and "kernel_q"
-                    in self.variables["params"]["attn"]["q_proj"]):
-                # Quantized params on the einsum fallback: dequantize
-                # so the Dense lookups find ``kernel`` (the fused int8
-                # kernel can't take external masks / odd shapes).
-                x = x + MultiHeadAttention(
-                    num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-                    dtype=self.dtype, parent=None).apply(
-                        {"params": dequantize_params_tree(
-                            self.variables["params"]["attn"])}, h, mask)
-            else:
-                x = x + MultiHeadAttention(
-                    num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-                    dtype=self.dtype, name="attn")(h, mask)
+            # quantized params route through the streaming W8A8 kernel
+            # inside MultiHeadAttention (masks/odd shapes the fused
+            # kernel rejects still run natively in int8)
+            x = x + MultiHeadAttention(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                dtype=self.dtype, name="attn")(h, mask)
         if self.fused_mlp and x.ndim == 3:
             from emr2a_tpu.ops.mlp import fused_ln_mlp
             ln2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
@@ -257,16 +242,8 @@ class TransformerBlock(nn.Module):
                     interpret=interpret)
             return out.reshape(B, S, d)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x)
-        if (not self.is_initializing()
-                and "kernel_q" in self.variables["params"]["mlp"]["fc1"]):
-            # Same dequantizing fallback for the MLP half.
-            x = x + Mlp(self.mlp_dim, activation=self.activation,
-                        dtype=self.dtype, parent=None).apply(
-                            {"params": dequantize_params_tree(
-                                self.variables["params"]["mlp"])}, h)
-        else:
-            x = x + Mlp(self.mlp_dim, activation=self.activation,
-                        dtype=self.dtype, name="mlp")(h)
+        x = x + Mlp(self.mlp_dim, activation=self.activation,
+                    dtype=self.dtype, name="mlp")(h)
         return x
 
 

@@ -83,14 +83,19 @@ _QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_qwen_text_params(params: Dict) -> Dict:
+def quantize_qwen_text_params(params: Dict,
+                              lm_head_int8: bool = False) -> Dict:
     """Qwen text-model params -> W8A8 decoder layers.
 
     Quantizes the seven projections of every ``layer_i``
     (models/qwen3_vl.QwenTextDecoderLayer routes on the ``kernel_q``
     entries via ops/linear_int8).  Embedding table / tied lm_head and
     norms stay bf16 — the embedding doubles as the lookup table.
-    Serving-only (no VJP).
+    An untied lm_head (8B geometry) stays bf16 by default: measured at
+    8B, W8 lm_head trades -24 ms prefill for +1.5 ms/token decode
+    (grid-step overhead at M=1 matvec shape beats the byte saving), and
+    audit serving is decode-heavy — pass ``lm_head_int8=True`` for
+    prefill-heavy workloads.  Serving-only (no VJP).
     """
     def one_layer(layer: Dict) -> Dict:
         out = dict(layer)
@@ -99,5 +104,8 @@ def quantize_qwen_text_params(params: Dict) -> Dict:
                 out[proj] = _quantize_dense(layer[proj])
         return out
 
-    return {name: (one_layer(sub) if name.startswith("layer_") else sub)
-            for name, sub in params.items()}
+    out = {name: (one_layer(sub) if name.startswith("layer_") else sub)
+           for name, sub in params.items()}
+    if lm_head_int8 and "lm_head" in out and "kernel" in out["lm_head"]:
+        out["lm_head"] = _quantize_dense(out["lm_head"])
+    return out

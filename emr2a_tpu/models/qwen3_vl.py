@@ -516,6 +516,16 @@ class QwenTextModel(nn.Module):
         the positions they need (e.g. the last prompt token)."""
         if self.config.tie_word_embeddings:
             return hidden @ self.embed_tokens.embedding.T.astype(hidden.dtype)
+        # untied lm_head (8B geometry): W8 halves the decode stream of
+        # the single largest weight (vocab 151936 x hidden)
+        if not self.is_initializing():
+            p = self.variables["params"].get("lm_head")
+            if p is not None and "kernel_q" in p:
+                from emr2a_tpu.ops.linear_int8 import linear_w8a8
+                return linear_w8a8(
+                    hidden, p["kernel_q"], p["kernel_scale"], None,
+                    out_dtype=self.config.dtype,
+                    interpret=jax.default_backend() != "tpu")
         return self.lm_head(hidden)
 
 

@@ -43,6 +43,29 @@ def _linear_kernel(xq_ref, xs_ref, w_ref, ws_ref, b_ref, o_ref, *,
     o_ref[:, :] = y.astype(out_dtype)
 
 
+_VMEM_BUDGET = 12 * 2**20  # conservative vs the 16 MiB scoped limit
+
+
+def _pick_tiles(tp: int, K: int, tile_n_max: int, out_itemsize: int):
+    """(tile_t, tile_n) under the VMEM budget (double-buffered blocks).
+
+    Decode (tp <= 256) keeps one row tile so weights stream through
+    exactly once; prefill/encoder shapes (tp > 256) keep the row tile
+    at 256 for MXU-efficient M and shrink the weight tile first (they
+    are compute-bound, so narrower N tiles are free).
+    """
+    def vmem(tile_t, tile_n):
+        return 2 * (tile_t * K + K * tile_n
+                    + tile_t * tile_n * out_itemsize) + 12 * tile_n
+
+    tile_t, tile_n = min(tp, 256), tile_n_max
+    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
+        tile_n //= 2
+    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 32:
+        tile_t //= 2
+    return tile_t, tile_n
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tile_n", "out_dtype", "interpret"))
 def linear_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
@@ -51,32 +74,46 @@ def linear_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """x (..., K) float, w_q (K, N) int8, w_scale (N,) f32 -> (..., N).
 
-    T (the flattened leading axis) pads to the int8 sublane tile (32);
-    N pads to ``tile_n``.
+    T (the flattened leading axis) pads to the row tile (>= the int8
+    sublane tile 32); N pads to the weight tile.  Tiles are chosen
+    under a VMEM budget (``_pick_tiles``), so encoder-sized activations
+    (e.g. BERT batch x 256 tokens) and 8B-geometry prefill both fit;
+    ``tile_n`` is the weight-tile ceiling.  The grid runs column tiles
+    outer / row tiles inner, so each weight tile is fetched once and
+    reused across every row tile.
     """
     *lead, K = x.shape
     T = 1
     for n in lead:
         T *= n
     N = w_q.shape[1]
+    tp32 = -(-T // 32) * 32
+    tile_t, tile_n = _pick_tiles(tp32, K, tile_n,
+                                 jnp.dtype(out_dtype).itemsize)
     xq, xs = quantize_rows(x.reshape(T, K))
-    tp = -(-T // 32) * 32
+    tp = -(-T // tile_t) * tile_t
     np_ = -(-N // tile_n) * tile_n
     xq = jnp.pad(xq, [(0, tp - T), (0, 0)])
     xs = jnp.pad(xs, [(0, tp - T), (0, 0)])
     wq = jnp.pad(w_q, [(0, 0), (0, np_ - N)])
     ws = jnp.pad(w_scale.reshape(1, -1), [(0, 0), (0, np_ - N)])
     operands = [xq, xs, wq, ws]
+    # grid = (column tiles, row tiles): i = program_id(0) picks the
+    # weight/output column, j = program_id(1) the activation rows.
     in_specs = [
-        pl.BlockSpec((tp, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_t, K), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_t, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, tile_n), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
     ]
     if bias is not None:
         operands.append(jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
                                 [(0, 0), (0, np_ - N)]))
-        in_specs.append(pl.BlockSpec((1, tile_n), lambda i: (0, i),
+        in_specs.append(pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
                                      memory_space=pltpu.VMEM))
         kernel = functools.partial(_linear_kernel, out_dtype=out_dtype)
     else:
@@ -86,9 +123,9 @@ def linear_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
                            out_dtype=out_dtype), out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(np_ // tile_n,),
+        grid=(np_ // tile_n, tp // tile_t),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tp, tile_n), lambda i: (0, i),
+        out_specs=pl.BlockSpec((tile_t, tile_n), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, np_), out_dtype),
         interpret=interpret,

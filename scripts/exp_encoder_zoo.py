@@ -1,0 +1,199 @@
+"""Per-encoder embedding throughput at real geometry, real chip.
+
+Round-2 verdict #4: the headline bench covers BioMedCLIP ViT-B/16 only;
+the zoo's other production geometries need their own rows.  Measures
+slices/s (device path: fused preprocess + tower + projection + L2 norm,
+scan-chained like bench.py) for:
+
+- biomedclip: ViT-B/16 @ 224 (the bench.py headline, for scale)
+- clip_l336:  CLIP ViT-L/14 @ 336 (reference encoders/clip_encoder.py:
+  25-36 default openai/clip-vit-large-patch14-336)
+- dinov3_l16: DINOv3 ViT-L/16 @ 224 (reference encoders/dino_encoder.py:
+  27-35 default facebook/dinov3-vitl16-pretrain-lvd1689m; RoPE +
+  registers + LayerScale blocks)
+
+Each at bf16 and, where the tower has a quantized path, W8A8
+(quantize_params_tree).  Methodology: >= N_BATCHES scan-chained batches
+inside ONE jit, single scalar readback, relay RTT subtracted, best of 3.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _t(f):
+    t0 = time.time()
+    f()
+    return time.time() - t0
+
+
+def _rtt():
+    @jax.jit
+    def empty(x):
+        return x + 1.0
+    float(empty(jnp.float32(0)))
+    return min(_t(lambda: float(empty(jnp.float32(i)))) for i in range(1, 4))
+
+
+def measure_tower(fwd, params, batches, rtt, n_runs=3):
+    @jax.jit
+    def chain(params, batches):
+        def body(carry, images_u8):
+            feats = fwd(params, images_u8)
+            return carry + feats.astype(jnp.float32).sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), batches)
+        return total
+
+    t0 = time.time()
+    float(chain(params, batches))
+    print(f"  compile+run: {time.time()-t0:.1f}s", flush=True)
+    dt = min(_t(lambda: float(chain(params, batches)))
+             for _ in range(n_runs))
+    return max(dt - rtt, 1e-9)
+
+
+def build_biomedclip(precision):
+    from emr2a_tpu.encoders.biomedclip_encoder import (
+        default_biomedclip_config)
+    from emr2a_tpu.models.clip import BioMedCLIPImageTower
+    from emr2a_tpu.models.vit import ViTConfig
+    from emr2a_tpu.ops.preprocess import (BIOMEDCLIP_PREPROCESS,
+                                          preprocess_images)
+
+    base = default_biomedclip_config()
+    vcfg = ViTConfig(**{**base.vision.__dict__, "dtype": jnp.bfloat16,
+                        "fused_mlp": True, "fused_attn": True})
+    config = type(base)(vision=vcfg, text=base.text,
+                        projection_dim=base.projection_dim,
+                        text_proj=base.text_proj)
+    tower = BioMedCLIPImageTower(config)
+    params = tower.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 224, 224, 3)))["params"]
+    params = _finalize(params, precision)
+
+    def fwd(p, images_u8):
+        pixels = preprocess_images(images_u8, BIOMEDCLIP_PREPROCESS)
+        feats = tower.apply({"params": p}, pixels.astype(jnp.bfloat16))
+        return _l2(feats)
+
+    return fwd, params, 224
+
+
+def build_clip_l336(precision):
+    import dataclasses
+
+    from emr2a_tpu.models.clip import CLIPConfig, CLIPImageTower
+    from emr2a_tpu.models.vit import CLIP_VIT_L14_336_VISION, ViTConfig
+    from emr2a_tpu.ops.preprocess import CLIP_PREPROCESS, preprocess_images
+
+    vcfg = ViTConfig(**{**CLIP_VIT_L14_336_VISION.__dict__,
+                        "dtype": jnp.bfloat16, "fused_mlp": True,
+                        "fused_attn": True})
+    config = CLIPConfig(vision=vcfg, text=None, projection_dim=768)
+    tower = CLIPImageTower(config)
+    params = tower.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 336, 336, 3)))["params"]
+    params = _finalize(params, precision)
+    spec = dataclasses.replace(CLIP_PREPROCESS, resize_size=336,
+                               crop_size=336)
+
+    def fwd(p, images_u8):
+        pixels = preprocess_images(images_u8, spec)
+        feats = tower.apply({"params": p}, pixels.astype(jnp.bfloat16))
+        return _l2(feats)
+
+    return fwd, params, 336
+
+
+def build_dinov3_l16(precision):
+    import dataclasses
+
+    from emr2a_tpu.models.dinov3 import DINOV3_VITL16, DINOv3ViT
+    from emr2a_tpu.ops.preprocess import DINOV3_PREPROCESS, preprocess_images
+
+    cfg = dataclasses.replace(DINOV3_VITL16, dtype=jnp.bfloat16)
+    tower = DINOv3ViT(cfg, pooling="mean_all")
+    params = tower.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 224, 224, 3)))["params"]
+    params = _finalize(params, precision)
+
+    def fwd(p, images_u8):
+        pixels = preprocess_images(images_u8, DINOV3_PREPROCESS)
+        # DINO embeddings ship un-normalized (reference parity)
+        return tower.apply({"params": p}, pixels.astype(jnp.bfloat16))
+
+    return fwd, params, 224
+
+
+def _l2(feats):
+    feats = feats.astype(jnp.float32)
+    return feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+
+
+def _finalize(params, precision):
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    if precision == "int8":
+        from emr2a_tpu.models.quantize import quantize_params_tree
+        params = quantize_params_tree(jax.device_get(params))
+    return jax.device_put(params)
+
+
+ZOO = {
+    "biomedclip": (build_biomedclip, 128, ("bf16", "int8")),
+    "clip_l336": (build_clip_l336, 32, ("bf16", "int8")),
+    "dinov3_l16": (build_dinov3_l16, 64, ("bf16",)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encoders", default="clip_l336,dinov3_l16",
+                    help=f"comma list from {sorted(ZOO)}")
+    ap.add_argument("--precision", default=None,
+                    help="override precision list (comma)")
+    ap.add_argument("--n_batches", type=int, default=21)
+    ap.add_argument("--json_out", default=None)
+    args = ap.parse_args()
+
+    rtt = _rtt()
+    records = []
+    rng = np.random.RandomState(0)
+    for name in args.encoders.split(","):
+        builder, batch, precisions = ZOO[name]
+        if args.precision:
+            precisions = args.precision.split(",")
+        for precision in precisions:
+            print(f"== {name} {precision} (batch {batch}) ==", flush=True)
+            fwd, params, size = builder(precision)
+            batches = jax.device_put(rng.randint(
+                0, 256, (args.n_batches, batch, size, size, 3), np.uint8))
+            dt = measure_tower(fwd, params, batches, rtt)
+            rate = args.n_batches * batch / dt
+            rec = {"metric": f"{name}_embed_throughput",
+                   "value": round(rate, 1), "unit": "slices/sec/chip",
+                   "precision": precision, "batch": batch}
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+            del params, batches
+
+    if args.json_out and records:
+        with open(args.json_out, "a", encoding="utf-8") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,28 @@
-"""Judge-path generation benchmark at Qwen3-VL-2B shapes, real chip.
+"""Judge-path generation benchmark at Qwen3-VL 2B/8B shapes, real chip.
 
-VERDICT r1 weak #3: the audit path's hot loop is VLM generation
-(/root/reference/pipelines/step4_vlm_review/vlm_audit_module.py:249-364)
-and round 1 shipped zero measured numbers for it.  This measures, with
-random-init weights at 2B-class shapes (perf is weight-agnostic):
+The reference's flagship judge is Qwen3-VL-**8B**-thinking
+(/root/reference/encoders/qwen3_vl_8b_thinking_encoder.py:30-43,
+pipelines/step4_vlm_review/vlm_audit_module.py:69-91); its audit hot
+loop is VLM generation (vlm_audit_module.py:249-364).  This measures,
+with random-init weights (perf is weight-agnostic):
 
-- vision tower forward for one 448x448 image (256 merged tokens),
+- vision tower forward for one 448x448 image,
 - prefill latency at the 1024-token prompt bucket,
-- decode tokens/s (isolated as (t(max_new=96) - t(max_new=32)) / 64).
+- decode tokens/s (isolated as (t(max_new=96) - t(max_new=32)) / 64),
+- peak HBM in use (``--geometry 8b``).
+
+``--geometry 8b`` = Qwen3-8B text geometry (hidden 4096, 36 layers,
+GQA 32:8, head 128, ffn 12288, untied lm_head).  bf16 8B params are
+16.1 GB — at/over a v5e's 16 GB HBM before KV cache — so the 8B
+single-chip serving mode is W8A8 (~9.4 GB: int8 decoder linears + bf16
+embed/lm_head); the quantized tree is materialized directly on device
+(an intermediate bf16 tree would OOM).  bf16 8B serving = TP over a
+mesh (training/sharding_rules.py; rehearsed in
+__graft_entry__.dryrun_multichip).
 
 The whole prefill+decode runs as ONE jitted call (Qwen3VLGenerator),
-so the ~30 ms relay RTT is subtracted once per measurement.
+so the ~30 ms relay RTT is subtracted once per measurement.  Appends a
+bench-style JSON line per metric with --json_out.
 """
 
 from __future__ import annotations
@@ -33,32 +45,148 @@ def _t(f):
     return time.time() - t0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=28)
-    ap.add_argument("--what", default="all", help="comma list: text,vision")
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
-    args = ap.parse_args()
-    what = set(args.what.split(","))
+_QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj")
 
-    from emr2a_tpu.models.qwen3_vl import (
-        Qwen3VLConfig, Qwen3VLGenerator, Qwen3VLModel, QwenTextConfig,
-        QwenVisionConfig, QwenVisionTower, compute_mrope_position_ids)
 
-    # Qwen3-VL-2B-class geometry (hidden 2048 / 28 layers / GQA 16:8 /
-    # head_dim 128 / ffn 6144; vision: depth 24, hidden 1152, merge 2).
-    cfg = Qwen3VLConfig(
-        vision=QwenVisionConfig(
+def materialize_quantized_on_device(model, key, lm_head_int8=True):
+    """Random-init a text model's params directly in the W8A8 serving
+    layout (kernel_q int8 + kernel_scale f32 for every layer_i
+    projection, bf16 elsewhere), leaf by leaf ON device.
+
+    Never materializes the bf16 tree — at 8B geometry that alone is
+    16.1 GB and OOMs a v5e before quantization could run.  Perf is
+    weight-agnostic, so random int8 weights measure exactly what
+    converted real weights would.
+    """
+    ids1 = jnp.zeros((1, 1), jnp.int32)
+    pos1 = jnp.zeros((3, 1, 1), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, ids1, pos1)["params"], key)
+
+    # float leaves land bf16 (converted real checkpoints store bf16 —
+    # an f32 embed/lm_head would stream 2x the bytes every decode step
+    # and misrepresent serving perf)
+    make_f = jax.jit(lambda k, s=None, d=None: (jax.random.normal(k, s)
+                                                * 0.02).astype(
+                         jnp.bfloat16 if d == jnp.float32 else d),
+                     static_argnames=("s", "d"))
+    make_q = jax.jit(lambda k, s=None: jax.random.randint(
+        k, s, -16, 17, jnp.int8), static_argnames=("s",))
+
+    counter = [0]
+
+    def fresh():
+        counter[0] += 1
+        return jax.random.fold_in(key, counter[0])
+
+    def walk(tree, in_layer):
+        out = {}
+        for name, sub in tree.items():
+            layerish = in_layer or name.startswith("layer_")
+            if isinstance(sub, dict):
+                if ((name == "lm_head" and lm_head_int8)
+                        or (in_layer and name in _QWEN_PROJS)
+                        ) and "kernel" in sub:
+                    k_shape = tuple(sub["kernel"].shape)
+                    entry = {
+                        "kernel_q": make_q(fresh(), s=k_shape),
+                        "kernel_scale": jnp.full((k_shape[1],), 5e-4,
+                                                 jnp.float32),
+                    }
+                    if "bias" in sub:
+                        entry["bias"] = make_f(
+                            fresh(), s=tuple(sub["bias"].shape),
+                            d=sub["bias"].dtype)
+                    out[name] = entry
+                else:
+                    out[name] = walk(sub, layerish)
+            else:
+                out[name] = make_f(fresh(), s=tuple(sub.shape),
+                                   d=sub.dtype)
+        return out
+
+    return walk(shapes, False)
+
+
+def build_config(geometry: str, layers=None):
+    from emr2a_tpu.models.qwen3_vl import (Qwen3VLConfig, QwenTextConfig,
+                                           QwenVisionConfig)
+    if geometry == "2b":
+        # Qwen3-VL-2B-class (hidden 2048 / 28 layers / GQA 16:8 /
+        # head_dim 128 / ffn 6144; vision: depth 24, hidden 1152).
+        text = QwenTextConfig(
+            vocab_size=151936, hidden_size=2048,
+            num_layers=layers or 28, num_heads=16, num_kv_heads=8,
+            head_dim=128, intermediate_size=6144,
+            mrope_section=(24, 20, 20), dtype=jnp.bfloat16)
+        vis = QwenVisionConfig(
             depth=24, hidden_size=1152, intermediate_size=4304,
             num_heads=16, patch_size=16, temporal_patch_size=2,
             spatial_merge_size=2, out_hidden_size=2048,
-            num_position_embeddings=2304, deepstack_visual_indexes=(5, 11, 17),
-            dtype=jnp.bfloat16),
-        text=QwenTextConfig(
-            vocab_size=151936, hidden_size=2048,
-            num_layers=args.layers, num_heads=16, num_kv_heads=8,
-            head_dim=128, intermediate_size=6144,
-            mrope_section=(24, 20, 20), dtype=jnp.bfloat16))
+            num_position_embeddings=2304,
+            deepstack_visual_indexes=(5, 11, 17), dtype=jnp.bfloat16)
+    else:
+        # Qwen3-VL-8B (Qwen3-8B text: hidden 4096 / 36 layers /
+        # GQA 32:8 / head 128 / ffn 12288 / untied lm_head; vision:
+        # depth 27, out_hidden 4096) — the reference's flagship judge,
+        # /root/reference/encoders/qwen3_vl_8b_thinking_encoder.py:30-43.
+        text = QwenTextConfig(
+            vocab_size=151936, hidden_size=4096,
+            num_layers=layers or 36, num_heads=32, num_kv_heads=8,
+            head_dim=128, intermediate_size=12288,
+            mrope_section=(24, 20, 20), tie_word_embeddings=False,
+            dtype=jnp.bfloat16)
+        vis = QwenVisionConfig(
+            depth=27, hidden_size=1152, intermediate_size=4304,
+            num_heads=16, patch_size=16, temporal_patch_size=2,
+            spatial_merge_size=2, out_hidden_size=4096,
+            num_position_embeddings=2304,
+            deepstack_visual_indexes=(8, 16, 24), dtype=jnp.bfloat16)
+    return Qwen3VLConfig(vision=vis, text=text)
+
+
+def main():
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--what", default="all", help="comma list: text,vision")
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--geometry", default="2b", choices=["2b", "8b"])
+    ap.add_argument("--json_out", default=None,
+                    help="append one JSON line per metric here")
+    ap.add_argument("--lm_head", default="bf16", choices=["int8", "bf16"],
+                    help="8B lm_head precision (bf16 default: int8 "
+                         "trades -24ms prefill for +1.5ms/token decode)")
+    ap.add_argument("--hbm_probe", action="store_true",
+                    help="binary-search ballast to bound peak HBM "
+                         "(memory_stats is empty through the relay)")
+    args = ap.parse_args()
+    what = set(args.what.split(","))
+    if args.geometry == "8b" and args.precision != "int8":
+        ap.error("8B bf16 params (16.1 GB) exceed single-chip HBM; "
+                 "use --precision int8 (single chip) or the TP path "
+                 "(dryrun_multichip)")
+
+    records = []
+
+    def emit(metric, value, unit):
+        rec = {"metric": metric, "value": round(float(value), 3),
+               "unit": unit, "geometry": args.geometry,
+               "precision": args.precision}
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+        if args.json_out:  # flush per metric — a later crash (e.g. the
+            # deliberately-OOMing HBM probe) must not lose earlier rows
+            with open(args.json_out, "a", encoding="utf-8") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    from emr2a_tpu.models.qwen3_vl import (
+        Qwen3VLGenerator, Qwen3VLModel, QwenVisionTower,
+        compute_mrope_position_ids)
+
+    cfg = build_config(args.geometry, args.layers)
 
     rtt = None
 
@@ -75,21 +203,34 @@ def main():
 
     if {"text", "all"} & what:
         model = Qwen3VLModel(cfg)
-        print("init 2B text params on device...", flush=True)
-        ids1 = jnp.zeros((1, 1), jnp.int32)
-        pos1 = jnp.zeros((3, 1, 1), jnp.int32)
-        params = jax.jit(lambda k: model.init(k, ids1, pos1)["params"])(
-            jax.random.PRNGKey(0))
+        print(f"init {args.geometry} text params on device "
+              f"({args.precision})...", flush=True)
+        if args.geometry == "8b":
+            # quantized layout materialized directly on device — no
+            # intermediate bf16 tree (it would OOM the chip)
+            params = materialize_quantized_on_device(
+                model, jax.random.PRNGKey(0),
+                lm_head_int8=args.lm_head == "int8")
+        else:
+            ids1 = jnp.zeros((1, 1), jnp.int32)
+            pos1 = jnp.zeros((3, 1, 1), jnp.int32)
+            params = jax.jit(lambda k: jax.tree_util.tree_map(
+                lambda x: (x.astype(jnp.bfloat16)
+                           if x.dtype == jnp.float32 else x),
+                model.init(k, ids1, pos1)["params"]))(jax.random.PRNGKey(0))
+            if args.precision == "int8":
+                from emr2a_tpu.models.quantize import (
+                    quantize_qwen_text_params)
+                params = {**params, "language_model":
+                          quantize_qwen_text_params(params["language_model"])}
+                params = jax.device_put(params)
         jax.block_until_ready(params)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-        print(f"params: {n_params/1e9:.2f}B", flush=True)
+        n_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree_util.tree_leaves(params))
+        print(f"params: {n_params/1e9:.2f}B ({n_bytes/2**30:.2f} GiB "
+              "on device)", flush=True)
 
-        if args.precision == "int8":
-            from emr2a_tpu.models.quantize import quantize_qwen_text_params
-            params = {**params, "language_model":
-                      quantize_qwen_text_params(params["language_model"])}
-            params = jax.device_put(params)
-            jax.block_until_ready(params)
         gen = Qwen3VLGenerator(model, params, eos_token_id=-1)  # never stop
         rng = np.random.RandomState(0)
         prompt = rng.randint(2, 150_000, (1, 980), np.int64)
@@ -107,8 +248,63 @@ def main():
         prefill = times[32] - 32 * per_tok
         print(f"prefill @ bucket 1024 (980 real tokens): {prefill*1000:.1f} ms")
         print(f"decode: {per_tok*1000:.2f} ms/token = {1/per_tok:.1f} tok/s")
-        bw = n_params * 2 / per_tok / 1e9
-        print(f"decode param-bandwidth: {bw:.0f} GB/s (chip stream rate 853)")
+        # decode streams every linear/lm_head byte once per token; the
+        # token-embedding table is a gather, not a stream, so it is
+        # excluded from the bandwidth denominator
+        embed_bytes = sum(
+            x.size * x.dtype.itemsize
+            for path, x in jax.tree_util.tree_leaves_with_path(params)
+            if "embed_tokens" in jax.tree_util.keystr(path))
+        bw = (n_bytes - embed_bytes) / per_tok / 1e9
+        print(f"decode weight-bandwidth: {bw:.0f} GB/s "
+              f"(excl. {embed_bytes/2**30:.2f} GiB embed table; chip "
+              "stream rate 853)")
+        emit("judge_prefill_1024", prefill * 1000, "ms")
+        emit("judge_decode", 1 / per_tok, "tok/s")
+        emit("judge_decode_weight_bw", bw, "GB/s")
+        emit("judge_params_resident", n_bytes / 2**30, "GiB")
+        stats = {}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            pass
+        if stats.get("peak_bytes_in_use"):
+            peak = stats["peak_bytes_in_use"]
+            print(f"peak HBM in use: {peak/2**30:.2f} GiB")
+            emit("judge_peak_hbm", peak / 2**30, "GiB")
+        elif args.hbm_probe:
+            # memory_stats is empty through the relay: measure peak
+            # indirectly as (16 GiB - largest ballast that can coexist
+            # with the serving run), 256 MiB resolution.
+            make_ballast = jax.jit(
+                lambda n: jnp.zeros((n, 2**20), jnp.uint8),
+                static_argnums=0)
+            step, lo = 512, 0
+            limit = int((16 * 2**30 - n_bytes) // 2**20)
+            for mib in range(step, limit + 1, step):
+                ballast = None
+                try:
+                    ballast = make_ballast(mib)
+                    jax.block_until_ready(ballast)
+                    gen.generate(prompt, max_new_tokens=32,
+                                 prompt_bucket=1024)
+                    lo = mib
+                    print(f"  ballast {mib} MiB OK", flush=True)
+                except Exception as e:
+                    print(f"  ballast {mib} MiB failed "
+                          f"({type(e).__name__})", flush=True)
+                    ballast = None
+                    # confirm the failure was capacity, not a poisoned
+                    # runtime: a ballast-free run must still succeed
+                    gen.generate(prompt, max_new_tokens=32,
+                                 prompt_bucket=1024)
+                    break
+                finally:
+                    del ballast
+            peak = 16 * 2**30 - lo * 2**20
+            print(f"peak HBM (16 GiB - {lo} MiB ballast headroom): "
+                  f"<= {peak/2**30:.2f} GiB (+-{step} MiB)")
+            emit("judge_peak_hbm_ballast", peak / 2**30, "GiB")
 
     if {"vision", "all"} & what:
         tower = QwenVisionTower(cfg.vision)
@@ -127,8 +323,9 @@ def main():
 
         float(vfwd(vparams, patches))
         dt = measure(lambda: float(vfwd(vparams, patches)))
-        print(f"vision tower fwd 448x448 (24 layers): {dt*1000:.1f} ms")
-
+        print(f"vision tower fwd 448x448 ({cfg.vision.depth} layers): "
+              f"{dt*1000:.1f} ms")
+        emit("judge_vision_fwd_448", dt * 1000, "ms")
 
 if __name__ == "__main__":
     main()

@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=96)
     ap.add_argument("--data_parallel", action="store_true")
     ap.add_argument("--precision", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--text", action="store_true",
+                    help="also embed one clinical text per patient "
+                         "(PubMedBERT-256 tower; reference protocol "
+                         "analysis/run_cv_experiments.py:216-237)")
     ap.add_argument("--keep", default=None,
                     help="reuse/keep the cohort under this dir")
     args = ap.parse_args()
@@ -80,9 +84,10 @@ def main():
     if args.data_parallel:
         from emr2a_tpu.parallel.mesh import default_mesh
         mesh = default_mesh()
+    tokenizer = _ToyBertTokenizer() if args.text else None
     enc = BioMedCLIPEncoder.random_init(
         fast="int8" if args.precision == "int8" else True, mesh=mesh,
-        max_batch=args.batch_size)
+        max_batch=args.batch_size, tokenizer=tokenizer)
     enc.assume_square_sources = True  # CT slices are square
 
     manifest = load_manifest(mpath)
@@ -101,13 +106,47 @@ def main():
     save_embeddings(embs, out_dir)
     t_save = time.time() - t0
 
-    done = sum(v.shape[0] for v in embs.values())
-    print(json.dumps({
+    result = {
         "slices": n_slices, "encoded": done,
         "embed_s": round(t_embed, 2), "save_s": round(t_save, 2),
         "end_to_end_slices_per_s": round(done / (t_embed + t_save), 1),
         "embed_slices_per_s": round(done / t_embed, 1),
-    }))
+    }
+
+    if args.text:
+        # one clinical text per patient, PubMedBERT tower (both
+        # modalities like the reference CV protocol)
+        texts = [f"patient {r['patient_id']} chest CT ground glass "
+                 f"opacity bilateral infiltrate severity {p % 5}"
+                 for p, r in enumerate(manifest)]
+        enc.encode_batch_texts(texts[:1])  # compile warmup
+        t0 = time.time()
+        tembs = enc.encode_batch_texts(texts)
+        t_text = time.time() - t0
+        ok = sum(1 for t in tembs if t is not None)
+        result["texts"] = ok
+        result["text_s"] = round(t_text, 3)
+        result["texts_per_s"] = round(ok / t_text, 1)
+
+    print(json.dumps(result))
+
+
+class _ToyBertTokenizer:
+    """Weight-free stand-in with the HF call signature the encoder
+    expects: crc32 word ids padded to max_length (real tokenizers only
+    change the id values, not the tower throughput)."""
+
+    def __call__(self, texts, padding="max_length", max_length=256,
+                 truncation=True, return_tensors="np"):
+        import zlib
+        ids = np.zeros((len(texts), max_length), np.int64)
+        mask = np.zeros((len(texts), max_length), np.int64)
+        for i, t in enumerate(texts):
+            toks = [101] + [zlib.crc32(w.encode()) % 30000 + 103
+                            for w in t.split()][:max_length - 2] + [102]
+            ids[i, :len(toks)] = toks
+            mask[i, :len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
 
 
 if __name__ == "__main__":

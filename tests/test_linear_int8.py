@@ -1,0 +1,71 @@
+"""Streaming W8A8 linear kernel (ops/linear_int8.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from emr2a_tpu.ops.linear_int8 import _pick_tiles, linear_w8a8
+from emr2a_tpu.ops.mlp import quantize_weight_int8
+
+
+def _np_reference(x, w_q, w_scale, bias):
+    xf = x.astype(np.float64)
+    a = np.maximum(np.abs(xf).max(-1, keepdims=True), 1e-12) / 127.0
+    xq = np.clip(np.round(xf / a), -127, 127)
+    y = (xq @ w_q.astype(np.float64)) * a * w_scale[None, :]
+    if bias is not None:
+        y = y + bias[None, :]
+    return y
+
+
+@pytest.mark.parametrize("T,K,N", [
+    (1, 64, 96),        # decode row
+    (40, 128, 512),     # sub-tile rows, exact tile_n
+    (700, 256, 384),    # multiple row tiles + padding on both axes
+])
+@pytest.mark.parametrize("use_bias", [True, False])
+def test_linear_w8a8_matches_reference(rng, T, K, N, use_bias):
+    x = rng.randn(T, K).astype(np.float32)
+    w = rng.randn(K, N).astype(np.float32) * 0.05
+    w_q, w_scale = quantize_weight_int8(w)
+    w_scale = np.asarray(w_scale).reshape(-1)
+    bias = rng.randn(N).astype(np.float32) if use_bias else None
+
+    got = np.asarray(linear_w8a8(
+        jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(w_scale),
+        None if bias is None else jnp.asarray(bias),
+        out_dtype=jnp.float32, interpret=True))
+    ref = _np_reference(x, np.asarray(w_q), w_scale, bias)
+    # activation quantization is the only error source vs the f64 ref
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_linear_w8a8_leading_axes(rng):
+    """(B, S, K) input keeps its leading shape."""
+    x = rng.randn(3, 5, 64).astype(np.float32)
+    w = rng.randn(64, 32).astype(np.float32)
+    w_q, w_scale = quantize_weight_int8(w)
+    out = linear_w8a8(jnp.asarray(x), jnp.asarray(w_q),
+                      jnp.asarray(np.asarray(w_scale).reshape(-1)),
+                      out_dtype=jnp.float32, interpret=True)
+    assert out.shape == (3, 5, 32)
+
+
+def test_pick_tiles_respects_budget():
+    """Every shape the serving paths hit stays under the VMEM budget,
+    including the 8B-geometry prefill that OOM'd the untiled kernel
+    (1024 rows x K=12288)."""
+    from emr2a_tpu.ops.linear_int8 import _VMEM_BUDGET
+
+    for tp, K in [(32, 6144), (32, 12288), (1024, 12288), (1024, 4096),
+                  (16384, 768), (256, 3072)]:
+        tile_t, tile_n = _pick_tiles(tp, K, 512, 2)
+        assert tile_t >= 32 and tile_n >= 128
+        assert tile_t <= max(tp, 32)
+        used = 2 * (tile_t * K + K * tile_n + tile_t * tile_n * 2)
+        assert used <= _VMEM_BUDGET, (tp, K, tile_t, tile_n, used)
+    # decode at 2B shapes keeps the tuned full-width weight tile
+    assert _pick_tiles(32, 6144, 512, 2) == (32, 512)

@@ -81,11 +81,11 @@ def test_quantized_qwen_decoder_matches(rng):
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
 
 
-def test_quantized_params_on_einsum_path_dequantize(tower, rng):
-    """Quantized params meeting the non-fused (einsum) path must
-    dequantize on the fly, not crash on a missing 'kernel' (advisor
-    round-2 finding): same params, fused kernels off, output still
-    tracks the float tower."""
+def test_quantized_params_on_einsum_path(tower, rng):
+    """Quantized params meeting the non-fused (einsum) path must route
+    through the streaming W8A8 linear kernel, not crash on a missing
+    'kernel' (advisor round-2 finding): same params, fused kernels off,
+    output still tracks the float tower."""
     vt, params = tower
     cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=64,
                     num_layers=3, num_heads=4, mlp_dim=128,
@@ -100,6 +100,66 @@ def test_quantized_params_on_einsum_path_dequantize(tower, rng):
                                 * np.linalg.norm(got, axis=1))
     # weight-only quantization error (activations stay float here)
     assert cos.min() > 0.999, cos
+
+
+def test_quantized_untied_lm_head(rng):
+    """8B geometry uses an untied lm_head — quantize_qwen_text_params
+    must W8 it and the model must route it through the streaming int8
+    kernel with top-1 logit agreement."""
+    from emr2a_tpu.models.qwen3_vl import QwenTextConfig, QwenTextModel
+    from emr2a_tpu.models.quantize import quantize_qwen_text_params
+
+    cfg = QwenTextConfig(vocab_size=200, hidden_size=48, num_layers=2,
+                         num_heads=4, num_kv_heads=2, head_dim=12,
+                         intermediate_size=96, mrope_section=(2, 2, 2),
+                         tie_word_embeddings=False)
+    m = QwenTextModel(cfg)
+    pos = jnp.asarray(np.broadcast_to(np.arange(7)[None, None], (3, 2, 7)))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, 48)),
+                    pos)["params"]
+    qp = quantize_qwen_text_params(params, lm_head_int8=True)
+    assert qp["lm_head"]["kernel_q"].dtype == np.int8
+    # default keeps lm_head bf16 (decode-optimal; see quantize.py)
+    assert "kernel" in quantize_qwen_text_params(params)["lm_head"]
+    x = jnp.asarray(rng.randn(2, 7, 48) * 0.5, jnp.float32)
+    ref, _ = m.apply({"params": params}, x, pos)
+    got, _ = m.apply({"params": qp}, x, pos)
+    a, b = np.asarray(ref, np.float64), np.asarray(got, np.float64)
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.9
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_quantized_bert_with_padding_mask(rng):
+    """W8A8 on a masked post-LN tower (PubMedBERT shape family): the
+    einsum attention carries the padding mask while every projection
+    runs the streaming int8 kernel; embeddings track the float tower."""
+    from emr2a_tpu.models.quantize import quantize_params_tree
+    from emr2a_tpu.models.text import BertConfig, BertEncoder
+
+    cfg = BertConfig(vocab_size=120, max_length=16, hidden_size=64,
+                     num_layers=2, num_heads=4, mlp_dim=128)
+    enc = BertEncoder(cfg, pooling="cls")
+    ids = np.asarray(rng.randint(2, 100, (3, 10)), np.int32)
+    ids[:, 7:] = 0
+    mask = (ids != 0).astype(np.int32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                      jnp.asarray(mask))["params"]
+    ref = np.asarray(enc.apply({"params": params}, jnp.asarray(ids),
+                               jnp.asarray(mask)), np.float64)
+    got = np.asarray(enc.apply({"params": quantize_params_tree(params)},
+                               jnp.asarray(ids), jnp.asarray(mask)),
+                     np.float64)
+    cos = (ref * got).sum(1) / (np.linalg.norm(ref, axis=1)
+                                * np.linalg.norm(got, axis=1))
+    assert cos.min() > 0.995, cos
+    # the mask must still be respected: changing a padded token is a
+    # no-op on the quantized path too
+    ids2 = ids.copy()
+    ids2[:, 8] = 55
+    got2 = np.asarray(enc.apply({"params": quantize_params_tree(params)},
+                                jnp.asarray(ids2), jnp.asarray(mask)),
+                      np.float64)
+    np.testing.assert_allclose(got, got2, rtol=1e-5, atol=1e-5)
 
 
 def test_int8_backend_matches_bf16_tokens(rng):

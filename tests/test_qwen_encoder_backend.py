@@ -91,10 +91,16 @@ def test_encoder_text_path(tiny):
 
 def test_qwen_backend_generates_hf_parity(tiny, rng):
     """Backend end-to-end (chat render → patch → generate → decode)
-    must reproduce HF greedy tokens."""
+    must reproduce HF greedy tokens.  Both sides run with eos disabled
+    so the random-init model always emits the full 5 tokens (otherwise
+    an eos-first draw would make the comparison vacuous)."""
     model, cfg, params = tiny
     mycfg = my_config(cfg)
-    tok = ToyTokenizer()
+
+    class NoEosTokenizer(ToyTokenizer):
+        eos_token_id = -1  # never generated
+
+    tok = NoEosTokenizer()
     backend = QwenVLBackend(
         model_path=None, config=mycfg, params=params, tokenizer=tok,
         image_processor=make_image_processor(mycfg.vision, min_pixels=16,
@@ -113,6 +119,7 @@ def test_qwen_backend_generates_hf_parity(tiny, rng):
     g = tuple(int(x) for x in proc["image_grid_thw"][0])
     ids = tok(text)["input_ids"]
     ids = backend._expand_image_tokens(ids, [g[0] * g[1] * g[2] // merge ** 2])
+    model.generation_config.eos_token_id = None
     with torch.no_grad():
         hf_out = model.generate(
             input_ids=torch.tensor([ids]),
@@ -120,4 +127,5 @@ def test_qwen_backend_generates_hf_parity(tiny, rng):
             image_grid_thw=torch.tensor([list(g)]),
             max_new_tokens=5, do_sample=False)
     expected_tokens = hf_out[0, len(ids):].numpy().tolist()
+    assert len(expected_tokens) == 5
     assert out == tok.decode(expected_tokens)
