@@ -53,9 +53,6 @@ class DINOEncoder(JitImageTextEncoder):
     def __init__(self, model_path: Optional[str] = None, device: str = "tpu",
                  config: Optional[DINOv3Config] = None, params=None,
                  max_batch: int = 128, fast: bool = False, mesh=None):
-        if fast == "int8":
-            logger.warning("DINOv3 has no W8A8 path (RoPE/LayerScale "
-                           "blocks); using the bf16 fast mode instead")
         if model_path is not None:
             mp = Path(model_path)
             cfg_file = mp / "config.json"
@@ -69,7 +66,8 @@ class DINOEncoder(JitImageTextEncoder):
             config = DINOV3_VITL16
         if fast:
             # bf16 params/compute; DINOv3's RoPE+LayerScale blocks have
-            # no Pallas fused path, so fast here is the dtype cut only.
+            # no fused-attention Pallas path, so fast=True is the dtype
+            # cut, and fast="int8" adds W8A8 projections (below).
             import dataclasses
             import jax.numpy as jnp
             config = dataclasses.replace(config, dtype=jnp.bfloat16)
@@ -85,6 +83,17 @@ class DINOEncoder(JitImageTextEncoder):
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, params)
+            if fast == "int8":
+                # all 7 block projections through the streaming W8A8
+                # kernel (models/layers._QuantRoutingModule); RoPE,
+                # softmax, and LayerScale stay bf16.  NOTE: measured
+                # SLOWER than bf16 at ViT-L geometry (347 vs 753
+                # slices/s — the per-call activation-quantize pass and
+                # s8-at-bf16-rate matmuls lose to XLA when the block
+                # can't be fused; docs/PERF_NOTES.md).  Use for memory
+                # footprint, not throughput.
+                from emr2a_tpu.models.quantize import quantize_params_tree
+                params = quantize_params_tree(params)
 
         def image_apply(p, pixels):
             return self._tower.apply({"params": p}, pixels)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from emr2a_tpu.models.layers import ACTIVATIONS
+from emr2a_tpu.models.layers import ACTIVATIONS, _QuantRoutingModule
 
 
 @dataclass(frozen=True)
@@ -81,7 +81,7 @@ def apply_rope_to_patches(q, k, cos, sin, num_prefix: int):
     return q, k
 
 
-class DINOv3Attention(nn.Module):
+class DINOv3Attention(_QuantRoutingModule):
     config: DINOv3Config
 
     @nn.compact
@@ -89,9 +89,11 @@ class DINOv3Attention(nn.Module):
         cfg = self.config
         B, S, d = x.shape
         head_dim = d // cfg.num_heads
-        q = nn.Dense(d, use_bias=cfg.query_bias, dtype=cfg.dtype, name="q_proj")(x)
-        k = nn.Dense(d, use_bias=cfg.key_bias, dtype=cfg.dtype, name="k_proj")(x)
-        v = nn.Dense(d, use_bias=cfg.value_bias, dtype=cfg.dtype, name="v_proj")(x)
+        # _proj routes through the streaming W8A8 kernel when params
+        # are quantized (models/quantize.py) — RoPE/softmax stay bf16
+        q = self._proj("q_proj", d, cfg.query_bias, x)
+        k = self._proj("k_proj", d, cfg.key_bias, x)
+        v = self._proj("v_proj", d, cfg.value_bias, x)
         q = q.reshape(B, S, cfg.num_heads, head_dim)
         k = k.reshape(B, S, cfg.num_heads, head_dim)
         v = v.reshape(B, S, cfg.num_heads, head_dim)
@@ -100,11 +102,10 @@ class DINOv3Attention(nn.Module):
                             preferred_element_type=jnp.float32) * head_dim ** -0.5
         probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, d)
-        return nn.Dense(d, use_bias=cfg.proj_bias, dtype=cfg.dtype,
-                        name="o_proj")(out)
+        return self._proj("o_proj", d, cfg.proj_bias, out)
 
 
-class DINOv3Mlp(nn.Module):
+class DINOv3Mlp(_QuantRoutingModule):
     config: DINOv3Config
 
     @nn.compact
@@ -112,16 +113,12 @@ class DINOv3Mlp(nn.Module):
         cfg = self.config
         act = ACTIVATIONS[cfg.activation]
         if cfg.use_gated_mlp:
-            g = nn.Dense(cfg.mlp_dim, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
-                         name="gate_proj")(x)
-            u = nn.Dense(cfg.mlp_dim, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
-                         name="up_proj")(x)
+            g = self._proj("gate_proj", cfg.mlp_dim, cfg.mlp_bias, x)
+            u = self._proj("up_proj", cfg.mlp_dim, cfg.mlp_bias, x)
             h = act(g) * u
         else:
-            h = act(nn.Dense(cfg.mlp_dim, use_bias=cfg.mlp_bias,
-                             dtype=cfg.dtype, name="up_proj")(x))
-        return nn.Dense(x.shape[-1], use_bias=cfg.mlp_bias, dtype=cfg.dtype,
-                        name="down_proj")(h)
+            h = act(self._proj("up_proj", cfg.mlp_dim, cfg.mlp_bias, x))
+        return self._proj("down_proj", x.shape[-1], cfg.mlp_bias, h)
 
 
 class DINOv3Block(nn.Module):

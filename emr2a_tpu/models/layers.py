@@ -47,15 +47,20 @@ class _QuantRoutingModule(nn.Module):
     """
 
     def _proj(self, name: str, features: int, use_bias: bool, h):
+        # dtype lives at self.dtype here and at self.config.dtype on
+        # config-carrying modules (DINOv3)
+        dtype = getattr(self, "dtype", None)
+        if dtype is None:
+            dtype = self.config.dtype
         if not self.is_initializing():
             p = self.variables["params"].get(name)
             if p is not None and "kernel_q" in p:
                 from emr2a_tpu.ops.linear_int8 import linear_w8a8
                 return linear_w8a8(
                     h, p["kernel_q"], p["kernel_scale"], p.get("bias"),
-                    out_dtype=self.dtype,
+                    out_dtype=dtype,
                     interpret=jax.default_backend() != "tpu")
-        return nn.Dense(features, use_bias=use_bias, dtype=self.dtype,
+        return nn.Dense(features, use_bias=use_bias, dtype=dtype,
                         name=name)(h)
 
 
@@ -199,7 +204,21 @@ class TransformerBlock(nn.Module):
             x = x + MultiHeadAttention(
                 num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                 dtype=self.dtype, name="attn")(h, mask)
-        if self.fused_mlp and x.ndim == 3:
+        use_fused_mlp = self.fused_mlp and x.ndim == 3
+        if use_fused_mlp and not self.is_initializing():
+            # The fused kernel keeps both MLP weight matrices VMEM-
+            # resident; at ViT-L shapes (1024 x 4096) that is 16.8 MB
+            # bf16 — over the 16 MB scoped limit — while int8 (8.4 MB)
+            # fits.  Gate like pick_fused_attn_params and fall back to
+            # the einsum/streaming path when it can't fit.
+            w8 = "kernel_q" in self.variables["params"]["mlp"]["fc1"]
+            d_model = x.shape[-1]
+            itemsize = 1 if w8 else 2
+            tile = 256
+            vmem = (2 * d_model * self.mlp_dim * itemsize
+                    + tile * (self.mlp_dim + d_model) * 4)
+            use_fused_mlp = vmem < 14 * 2**20
+        if use_fused_mlp:
             from emr2a_tpu.ops.mlp import fused_ln_mlp
             ln2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                                name="ln2")

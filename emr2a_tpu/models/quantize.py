@@ -23,8 +23,10 @@ import numpy as np
 
 from emr2a_tpu.ops.mlp import quantize_weight_int8
 
-_ATTN_PROJS = ("q_proj", "k_proj", "v_proj", "out_proj")
-_MLP_FCS = ("fc1", "fc2")
+_ATTN_PROJS = ("q_proj", "k_proj", "v_proj", "out_proj",
+               "o_proj")                                    # DINOv3 naming
+_MLP_FCS = ("fc1", "fc2",
+            "gate_proj", "up_proj", "down_proj")            # DINOv3 naming
 
 
 def _quantize_dense(entry: Dict) -> Dict:

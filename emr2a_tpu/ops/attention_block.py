@@ -64,7 +64,14 @@ def fused_attn_vmem_bytes(d: int, S: int, num_heads: int, head_group: int,
     kv_scratch = 2 * sp * d * itemsize
     tiles = 4 * block_b * sq * d * itemsize  # in+out, each double-buffered
     logits = hg * sq * sp * 4
-    return weights + kv_scratch + tiles + logits
+    total = weights + kv_scratch + tiles + logits
+    if weight_itemsize == 1:
+        # the W8A8 kernel's stack temporaries (s32 accumulators + the
+        # per-projection quantized-activation copies) grow with the
+        # tile; without this term ViT-L/336 passed the gate and blew
+        # the 16 MiB scoped limit by 6 MiB on-chip
+        total += block_b * sq * d * 5
+    return total
 
 
 def pick_fused_attn_params(d: int, S: int, num_heads: int,

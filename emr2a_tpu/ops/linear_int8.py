@@ -49,16 +49,21 @@ _VMEM_BUDGET = 12 * 2**20  # conservative vs the 16 MiB scoped limit
 def _pick_tiles(tp: int, K: int, tile_n_max: int, out_itemsize: int):
     """(tile_t, tile_n) under the VMEM budget (double-buffered blocks).
 
-    Decode (tp <= 256) keeps one row tile so weights stream through
-    exactly once; prefill/encoder shapes (tp > 256) keep the row tile
-    at 256 for MXU-efficient M and shrink the weight tile first (they
-    are compute-bound, so narrower N tiles are free).
+    Grid-step overhead on this hardware is ~5-10 us, so row tiles are
+    grown as large as the budget allows (up to 2048) — encoder shapes
+    (T in the tens of thousands) at a 256-row tile paid more in step
+    overhead than the int8 byte saving earned back.  Decode (tp <= the
+    cap) keeps one row tile so weights stream through exactly once.
+    When it still doesn't fit, shrink the weight tile first (big-T
+    callers are compute-bound; narrower N tiles are free), then rows.
     """
     def vmem(tile_t, tile_n):
         return 2 * (tile_t * K + K * tile_n
                     + tile_t * tile_n * out_itemsize) + 12 * tile_n
 
-    tile_t, tile_n = min(tp, 256), tile_n_max
+    tile_t, tile_n = min(tp, 2048), tile_n_max
+    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 256:
+        tile_t //= 2
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
         tile_n //= 2
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 32:

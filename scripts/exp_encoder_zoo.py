@@ -154,7 +154,7 @@ def _finalize(params, precision):
 ZOO = {
     "biomedclip": (build_biomedclip, 128, ("bf16", "int8")),
     "clip_l336": (build_clip_l336, 32, ("bf16", "int8")),
-    "dinov3_l16": (build_dinov3_l16, 64, ("bf16",)),
+    "dinov3_l16": (build_dinov3_l16, 64, ("bf16", "int8")),
 }
 
 
@@ -187,12 +187,11 @@ def main():
                    "precision": precision, "batch": batch}
             records.append(rec)
             print(json.dumps(rec), flush=True)
+            if args.json_out:  # flush per row — a later-tower crash
+                # must not lose completed measurements
+                with open(args.json_out, "a", encoding="utf-8") as f:
+                    f.write(json.dumps(rec) + "\n")
             del params, batches
-
-    if args.json_out and records:
-        with open(args.json_out, "a", encoding="utf-8") as f:
-            for rec in records:
-                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

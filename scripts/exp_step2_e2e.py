@@ -106,6 +106,7 @@ def main():
     save_embeddings(embs, out_dir)
     t_save = time.time() - t0
 
+    done = sum(v.shape[0] for v in embs.values())
     result = {
         "slices": n_slices, "encoded": done,
         "embed_s": round(t_embed, 2), "save_s": round(t_save, 2),
@@ -119,7 +120,7 @@ def main():
         texts = [f"patient {r['patient_id']} chest CT ground glass "
                  f"opacity bilateral infiltrate severity {p % 5}"
                  for p, r in enumerate(manifest)]
-        enc.encode_batch_texts(texts[:1])  # compile warmup
+        enc.encode_batch_texts(texts)  # compile warmup (same bucket)
         t0 = time.time()
         tembs = enc.encode_batch_texts(texts)
         t_text = time.time() - t0

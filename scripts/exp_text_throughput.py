@@ -156,6 +156,9 @@ def main():
                "unit": unit, "precision": precision}
         records.append(rec)
         print(json.dumps(rec), flush=True)
+        if args.json_out:  # flush per metric
+            with open(args.json_out, "a", encoding="utf-8") as f:
+                f.write(json.dumps(rec) + "\n")
 
     rtt = _rtt()
     if "bert" in what:
@@ -166,11 +169,6 @@ def main():
             bench_qwen("2b", prec, args.seq, args.qwen_batch, rtt, emit)
     if "qwen8b" in what:
         bench_qwen("8b", "int8", args.seq, args.qwen_batch, rtt, emit)
-
-    if args.json_out and records:
-        with open(args.json_out, "a", encoding="utf-8") as f:
-            for rec in records:
-                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

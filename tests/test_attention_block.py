@@ -192,31 +192,33 @@ def test_merged_batch_variant_matches(rng, block_b, valid_len):
                                atol=1e-6, rtol=1e-6)
 
 
-def test_vit_l_unlocked_by_int8_weights():
-    """ViT-L/336 (d=1024, S=577) exceeds the bf16 VMEM budget (einsum
-    fallback), but int8 weight residency fits — quantized params get
-    the fused path."""
-    from emr2a_tpu.ops.attention_block import (fused_attn_vmem_bytes,
-                                               pick_fused_attn_params)
+def test_vit_l_gated_out_even_with_int8_weights():
+    """ViT-L/336 (d=1024, S=577) exceeds the VMEM budget in bf16 AND in
+    W8A8: the int8 kernel's stack temporaries (s32 accumulators +
+    quantized-activation copies) pushed a real run 6 MiB over the
+    16 MiB scoped limit on-chip, so the gate must reject both — these
+    shapes take the einsum/streaming path (docs/PERF_NOTES.md,
+    encoder-zoo section)."""
+    from emr2a_tpu.ops.attention_block import pick_fused_attn_params
     assert pick_fused_attn_params(1024, 577, 16) is None
-    picked = pick_fused_attn_params(1024, 577, 16, weight_itemsize=1)
-    assert picked is not None
-    bb, hg = picked
-    assert fused_attn_vmem_bytes(1024, 577, 16, hg, bb,
-                                 weight_itemsize=1) <= 14 * 2 ** 20
+    assert pick_fused_attn_params(1024, 577, 16, weight_itemsize=1) is None
+    # ViT-B stays unlocked in both precisions
+    assert pick_fused_attn_params(768, 197, 12) is not None
+    assert pick_fused_attn_params(768, 197, 12, weight_itemsize=1) is not None
 
 
 def test_int8_attention_vit_l_dims(rng):
-    """W8A8 kernel numerics at ViT-L dims (d=1024, S=577, 16 heads)
-    with the picked parameters, interpret mode."""
+    """W8A8 kernel numerics at ViT-L dims (d=1024, S=577, 16 heads),
+    interpret mode.  The picker gates this shape OUT on real hardware
+    (see test above); fixed small tiles keep the numerics pinned so the
+    kernel stays correct if a bigger-VMEM part unlocks it later."""
     import jax.numpy as jnp
     from emr2a_tpu.ops.attention_block import (fused_ln_attention,
-                                               fused_ln_attention_int8,
-                                               pick_fused_attn_params)
+                                               fused_ln_attention_int8)
     from emr2a_tpu.ops.mlp import quantize_weight_int8
 
     B, S, d, H = 1, 577, 1024, 16
-    bb, hg = pick_fused_attn_params(d, S, H, weight_itemsize=1)
+    bb, hg = 1, 2
     x = jnp.asarray(rng.randn(B, S, d) * 0.5, jnp.float32)
     mk = lambda *sh: rng.randn(*sh).astype(np.float32) * 0.05
     ws = [mk(d, d) for _ in range(4)]

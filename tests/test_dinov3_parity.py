@@ -58,3 +58,26 @@ def test_dinov3_mean_pool_matches_reference_semantics(rng):
     expected = hidden.mean(axis=1)  # dino_encoder.py:52-57 mean over tokens
     got = np.asarray(tower.apply({"params": params}, pixels))
     np.testing.assert_allclose(got, expected, atol=3e-4, rtol=1e-3)
+
+
+def test_quantized_dinov3_matches_float(rng):
+    """W8A8 DINOv3 (all 7 block projections through the streaming int8
+    kernel; RoPE/softmax/LayerScale bf16) tracks the float tower."""
+    import jax
+    import jax.numpy as jnp
+
+    from emr2a_tpu.models.dinov3 import DINOv3Config, DINOv3ViT
+    from emr2a_tpu.models.quantize import quantize_params_tree
+
+    cfg = DINOv3Config(image_size=32, patch_size=16, hidden_size=64,
+                       num_layers=2, num_heads=4, mlp_dim=128,
+                       num_register_tokens=2)
+    tower = DINOv3ViT(cfg, pooling="mean_all")
+    x = jnp.asarray(rng.randn(2, 32, 32, 3) * 0.5, jnp.float32)
+    params = tower.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(tower.apply({"params": params}, x), np.float64)
+    got = np.asarray(tower.apply(
+        {"params": quantize_params_tree(params)}, x), np.float64)
+    cos = (ref * got).sum(1) / (np.linalg.norm(ref, axis=1)
+                                * np.linalg.norm(got, axis=1))
+    assert cos.min() > 0.995, cos
