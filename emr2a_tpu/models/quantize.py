@@ -85,25 +85,43 @@ _QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
+def _quantize_dense_int4(entry: Dict, group: int = 128) -> Dict:
+    from emr2a_tpu.ops.linear_int4 import quantize_weight_int4
+    w = np.asarray(entry["kernel"], np.float32)
+    packed, scale = quantize_weight_int4(w, group=group)
+    out = {k: v for k, v in entry.items() if k != "kernel"}
+    out["kernel_p4"] = packed
+    out["kernel_scale4"] = scale
+    return out
+
+
 def quantize_qwen_text_params(params: Dict,
-                              lm_head_int8: bool = False) -> Dict:
-    """Qwen text-model params -> W8A8 decoder layers.
+                              lm_head_int8: bool = False,
+                              precision: str = "int8") -> Dict:
+    """Qwen text-model params -> W8A8 (or W4A8) decoder layers.
 
     Quantizes the seven projections of every ``layer_i``
-    (models/qwen3_vl.QwenTextDecoderLayer routes on the ``kernel_q``
-    entries via ops/linear_int8).  Embedding table / tied lm_head and
-    norms stay bf16 — the embedding doubles as the lookup table.
+    (models/qwen3_vl.QwenTextDecoderLayer routes on the ``kernel_q`` /
+    ``kernel_p4`` entries via ops/linear_int8 / ops/linear_int4).
+    ``precision="int4"`` uses group-128 4-bit weights — decode is
+    weight-bandwidth-bound, so W4 roughly halves ms/token again over
+    W8.  Embedding table / tied lm_head and norms stay bf16 — the
+    embedding doubles as the lookup table.
     An untied lm_head (8B geometry) stays bf16 by default: measured at
     8B, W8 lm_head trades -24 ms prefill for +1.5 ms/token decode
     (grid-step overhead at M=1 matvec shape beats the byte saving), and
     audit serving is decode-heavy — pass ``lm_head_int8=True`` for
     prefill-heavy workloads.  Serving-only (no VJP).
     """
+    if precision not in ("int8", "int4"):
+        raise ValueError(f"precision must be int8|int4, got {precision!r}")
+    quant = _quantize_dense if precision == "int8" else _quantize_dense_int4
+
     def one_layer(layer: Dict) -> Dict:
         out = dict(layer)
         for proj in _QWEN_PROJS:
             if proj in layer and "kernel" in layer[proj]:
-                out[proj] = _quantize_dense(layer[proj])
+                out[proj] = quant(layer[proj])
         return out
 
     out = {name: (one_layer(sub) if name.startswith("layer_") else sub)

@@ -376,12 +376,20 @@ class QwenTextDecoderLayer(nn.Module):
     config: QwenTextConfig
 
     def _dense(self, name: str, features: int, use_bias: bool, h):
-        """nn.Dense, or the streaming W8A8 kernel when this layer's
-        params carry int8 weights (quantize_qwen_text_params) — decode
-        is weight-bandwidth-bound, int8 halves the stream
-        (ops/linear_int8.py)."""
+        """nn.Dense, or a streaming quantized kernel when this layer's
+        params carry quantized weights (quantize_qwen_text_params) —
+        decode is weight-bandwidth-bound; W8 halves the stream
+        (ops/linear_int8.py) and W4 halves it again
+        (ops/linear_int4.py, group-wise 4-bit)."""
         if not self.is_initializing():
             params = self.variables["params"].get(name)
+            if params is not None and "kernel_p4" in params:
+                from emr2a_tpu.ops.linear_int4 import linear_w4a8
+                return linear_w4a8(
+                    h, params["kernel_p4"], params["kernel_scale4"],
+                    params.get("bias"),
+                    out_dtype=self.config.dtype,
+                    interpret=jax.default_backend() != "tpu")
             if params is not None and "kernel_q" in params:
                 from emr2a_tpu.ops.linear_int8 import linear_w8a8
                 return linear_w8a8(

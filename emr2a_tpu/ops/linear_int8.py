@@ -6,9 +6,19 @@ of a 853 GB/s roofline at 2B bf16, docs/PERF_NOTES.md) — int8 weights
 halve the bytes, and the s8 x s8 MXU mode doubles the matmul rate for
 the prefill (compute-bound) case too.
 
-The activation is quantized per row ONCE on the XLA side (not per
-weight tile); the kernel streams (K, tile_n) int8 weight blocks
-through VMEM double-buffered by the pipeline and emits bf16.
+Activations are quantized per row INSIDE the kernel (VMEM-resident,
+fused with the matmul): the float tile streams in once and the s8
+copy never touches HBM.  The previous design quantized on the XLA
+side first — a separate pass that measured 0.13 ms of a 0.32 ms call
+at encoder shapes.  Measured on-chip (scripts/exp_int8_tiles.py, the
+(18464,1024)x(1024,1024) encoder shape): fused quantize + full-N
+column tiles = 0.28-0.35 ms, vs 0.32 old default, 0.22 old split
+path at full-N, and 0.217 ms bf16 XLA — the VPU quantize of a
+2048-row tile serializes against the MXU, so at big-T compute-bound
+shapes bf16 XLA stays the fast path (docs/PERF_NOTES.md).  Where this
+kernel earns its keep is decode/serving (T <= 32): the weight stream
+dominates, the in-kernel quantize is free, and one fused call
+replaces quantize-pass + kernel dispatch per projection.
 """
 
 from __future__ import annotations
@@ -23,7 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_rows(x: jax.Array):
-    """(T, K) float -> ((T, K) int8, (T, 1) f32 scales)."""
+    """(T, K) float -> ((T, K) int8, (T, 1) f32 scales).
+
+    XLA-side reference implementation (the kernel fuses the same math
+    in VMEM); kept for tests and for callers that need the quantized
+    activations themselves.
+    """
     xf = x.astype(jnp.float32)
     a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(a, 1e-12) / 127.0
@@ -31,13 +46,18 @@ def quantize_rows(x: jax.Array):
     return q, scale
 
 
-def _linear_kernel(xq_ref, xs_ref, w_ref, ws_ref, b_ref, o_ref, *,
-                   out_dtype):
+def _linear_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, *, out_dtype):
+    # per-row activation quantize, fused: the float tile is already in
+    # VMEM; the s8 copy and the scales are stack temporaries
+    xf = x_ref[:, :].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf * (1.0 / xs)), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
-        xq_ref[:, :], w_ref[:, :],
+        xq, w_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * xs_ref[:, :] * ws_ref[0, :]
+    y = acc.astype(jnp.float32) * xs * ws_ref[0, :]
     if b_ref is not None:
         y = y + b_ref[0, :]
     o_ref[:, :] = y.astype(out_dtype)
@@ -46,22 +66,26 @@ def _linear_kernel(xq_ref, xs_ref, w_ref, ws_ref, b_ref, o_ref, *,
 _VMEM_BUDGET = 12 * 2**20  # conservative vs the 16 MiB scoped limit
 
 
-def _pick_tiles(tp: int, K: int, tile_n_max: int, out_itemsize: int):
-    """(tile_t, tile_n) under the VMEM budget (double-buffered blocks).
+def _pick_tiles(tp: int, K: int, N: int, tile_n_max: int,
+                out_itemsize: int, in_itemsize: int):
+    """(tile_t, tile_n) under the VMEM budget.
 
-    Grid-step overhead on this hardware is ~5-10 us, so row tiles are
-    grown as large as the budget allows (up to 2048) — encoder shapes
-    (T in the tens of thousands) at a 256-row tile paid more in step
-    overhead than the int8 byte saving earned back.  Decode (tp <= the
-    cap) keeps one row tile so weights stream through exactly once.
-    When it still doesn't fit, shrink the weight tile first (big-T
-    callers are compute-bound; narrower N tiles are free), then rows.
+    Column tiles are as wide as fits (ideally full N): with the grid
+    running row tiles innermost, the weight tile is fetched once per
+    column group, so a single-column grid streams BOTH operands through
+    HBM exactly once — the measured winner at encoder shapes
+    (scripts/exp_int8_tiles.py).  Row tiles then grow to amortize
+    grid-step overhead.  The model charges double-buffered blocks plus
+    the kernel's f32/s8 quantize temporaries (single-buffered stack).
     """
     def vmem(tile_t, tile_n):
-        return 2 * (tile_t * K + K * tile_n
-                    + tile_t * tile_n * out_itemsize) + 12 * tile_n
+        return (2 * (tile_t * K * in_itemsize + K * tile_n
+                     + tile_t * tile_n * out_itemsize)
+                + 5 * tile_t * K + 12 * tile_n)
 
-    tile_t, tile_n = min(tp, 2048), tile_n_max
+    np128 = -(-N // 128) * 128
+    tile_n = min(np128, tile_n_max)
+    tile_t = min(tp, 1024)
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 256:
         tile_t //= 2
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
@@ -74,41 +98,39 @@ def _pick_tiles(tp: int, K: int, tile_n_max: int, out_itemsize: int):
 @functools.partial(jax.jit,
                    static_argnames=("tile_n", "out_dtype", "interpret"))
 def linear_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
-                bias: Optional[jax.Array] = None, tile_n: int = 512,
+                bias: Optional[jax.Array] = None, tile_n: int = 2048,
                 out_dtype=jnp.bfloat16,
                 interpret: bool = False) -> jax.Array:
     """x (..., K) float, w_q (K, N) int8, w_scale (N,) f32 -> (..., N).
 
     T (the flattened leading axis) pads to the row tile (>= the int8
     sublane tile 32); N pads to the weight tile.  Tiles are chosen
-    under a VMEM budget (``_pick_tiles``), so encoder-sized activations
-    (e.g. BERT batch x 256 tokens) and 8B-geometry prefill both fit;
-    ``tile_n`` is the weight-tile ceiling.  The grid runs column tiles
-    outer / row tiles inner, so each weight tile is fetched once and
-    reused across every row tile.
+    under a VMEM budget (``_pick_tiles``) — full-N column tiles when
+    they fit, so each operand streams through HBM once; ``tile_n`` is
+    the weight-tile ceiling.  The grid runs column tiles outer / row
+    tiles inner, so each weight tile is fetched once and reused across
+    every row tile.  Activations are quantized per row in-kernel.
     """
     *lead, K = x.shape
     T = 1
     for n in lead:
         T *= n
     N = w_q.shape[1]
+    x2 = x.reshape(T, K)
+    in_item = jnp.dtype(x2.dtype).itemsize
     tp32 = -(-T // 32) * 32
-    tile_t, tile_n = _pick_tiles(tp32, K, tile_n,
-                                 jnp.dtype(out_dtype).itemsize)
-    xq, xs = quantize_rows(x.reshape(T, K))
+    tile_t, tile_n = _pick_tiles(tp32, K, N, tile_n,
+                                 jnp.dtype(out_dtype).itemsize, in_item)
     tp = -(-T // tile_t) * tile_t
     np_ = -(-N // tile_n) * tile_n
-    xq = jnp.pad(xq, [(0, tp - T), (0, 0)])
-    xs = jnp.pad(xs, [(0, tp - T), (0, 0)])
+    x2 = jnp.pad(x2, [(0, tp - T), (0, 0)])
     wq = jnp.pad(w_q, [(0, 0), (0, np_ - N)])
     ws = jnp.pad(w_scale.reshape(1, -1), [(0, 0), (0, np_ - N)])
-    operands = [xq, xs, wq, ws]
+    operands = [x2, wq, ws]
     # grid = (column tiles, row tiles): i = program_id(0) picks the
     # weight/output column, j = program_id(1) the activation rows.
     in_specs = [
         pl.BlockSpec((tile_t, K), lambda i, j: (j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_t, 1), lambda i, j: (j, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((K, tile_n), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
@@ -123,8 +145,8 @@ def linear_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
         kernel = functools.partial(_linear_kernel, out_dtype=out_dtype)
     else:
         kernel = functools.partial(
-            lambda xq_ref, xs_ref, w_ref, ws_ref, o_ref, out_dtype:
-            _linear_kernel(xq_ref, xs_ref, w_ref, ws_ref, None, o_ref,
+            lambda x_ref, w_ref, ws_ref, o_ref, out_dtype:
+            _linear_kernel(x_ref, w_ref, ws_ref, None, o_ref,
                            out_dtype=out_dtype), out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,
@@ -136,7 +158,7 @@ def linear_w8a8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * K * np_,
-            bytes_accessed=K * np_ + tp * K,
+            bytes_accessed=K * np_ + tp * K * in_item + tp * np_,
             transcendentals=0,
         ),
     )(*operands)

@@ -55,17 +55,23 @@ def test_linear_w8a8_leading_axes(rng):
 
 
 def test_pick_tiles_respects_budget():
-    """Every shape the serving paths hit stays under the VMEM budget,
+    """Every shape the serving paths hit stays under the VMEM budget
+    (double-buffered blocks + the in-kernel quantize temporaries),
     including the 8B-geometry prefill that OOM'd the untiled kernel
     (1024 rows x K=12288)."""
     from emr2a_tpu.ops.linear_int8 import _VMEM_BUDGET
 
-    for tp, K in [(32, 6144), (32, 12288), (1024, 12288), (1024, 4096),
-                  (16384, 768), (256, 3072)]:
-        tile_t, tile_n = _pick_tiles(tp, K, 512, 2)
+    for tp, K, N in [(32, 6144, 4096), (32, 12288, 4096),
+                     (1024, 12288, 4096), (1024, 4096, 12288),
+                     (16384, 768, 768), (256, 3072, 768)]:
+        tile_t, tile_n = _pick_tiles(tp, K, N, 2048, 2, 2)
         assert tile_t >= 32 and tile_n >= 128
         assert tile_t <= max(tp, 32)
-        used = 2 * (tile_t * K + K * tile_n + tile_t * tile_n * 2)
-        assert used <= _VMEM_BUDGET, (tp, K, tile_t, tile_n, used)
-    # decode at 2B shapes keeps the tuned full-width weight tile
-    assert _pick_tiles(32, 6144, 512, 2) == (32, 512)
+        used = (2 * (tile_t * K * 2 + K * tile_n + tile_t * tile_n * 2)
+                + 5 * tile_t * K + 12 * tile_n)
+        assert used <= _VMEM_BUDGET, (tp, K, N, tile_t, tile_n, used)
+    # the encoder shape gets a full-N single-column grid (both operands
+    # stream through HBM exactly once — the measured winner)
+    assert _pick_tiles(18464, 1024, 1024, 2048, 2, 2)[1] == 1024
+    # decode keeps one row tile so weights stream through exactly once
+    assert _pick_tiles(32, 6144, 4096, 2048, 2, 2)[0] == 32
