@@ -38,7 +38,11 @@ class QwenVLBackend:
         """``precision="int8"`` quantizes the decoder projections W8A8
         (models/quantize.quantize_qwen_text_params) — decode is weight-
         bandwidth-bound, int8 nearly halves the stream; tiny-model
-        logit corr vs bf16 >= 0.9997, top-1 agreement 1.0."""
+        logit corr vs bf16 >= 0.9997, top-1 agreement 1.0.
+        ``precision="int4"`` uses group-128 4-bit weights
+        (ops/linear_int4) — halves the decode stream again; RTN 4-bit
+        carries real accuracy cost, so int8 stays the accuracy-safe
+        default recommendation for the judge."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         if params is None:
@@ -74,10 +78,14 @@ class QwenVLBackend:
         if image_processor is None:
             from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
             image_processor = make_image_processor(config.vision)
-        if precision == "int8":
+        if precision in ("int8", "int4"):
             from emr2a_tpu.models.quantize import quantize_qwen_text_params
             params = {**params, "language_model":
-                      quantize_qwen_text_params(params["language_model"])}
+                      quantize_qwen_text_params(params["language_model"],
+                                                precision=precision)}
+        elif precision != "bf16":
+            raise ValueError(
+                f"precision must be bf16|int8|int4, got {precision!r}")
         self.config = config
         self.tokenizer = tokenizer
         self.image_processor = image_processor

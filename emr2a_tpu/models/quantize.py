@@ -85,10 +85,19 @@ _QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
-def _quantize_dense_int4(entry: Dict, group: int = 128) -> Dict:
+def _int4_group(K: int, target: int = 128) -> int:
+    """Largest even divisor of K <= target (tiny test geometries are
+    not 128-divisible; real geometries always take the full 128)."""
+    for g in range(min(target, K), 1, -1):
+        if K % g == 0 and g % 2 == 0:
+            return g
+    raise ValueError(f"no even group divides K={K}")
+
+
+def _quantize_dense_int4(entry: Dict) -> Dict:
     from emr2a_tpu.ops.linear_int4 import quantize_weight_int4
     w = np.asarray(entry["kernel"], np.float32)
-    packed, scale = quantize_weight_int4(w, group=group)
+    packed, scale = quantize_weight_int4(w, group=_int4_group(w.shape[0]))
     out = {k: v for k, v in entry.items() if k != "kernel"}
     out["kernel_p4"] = packed
     out["kernel_scale4"] = scale

@@ -124,14 +124,15 @@ def _pick_tiles_w4(tp: int, K: int, N: int, tile_n_max: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("group", "tile_n", "out_dtype",
-                                    "interpret"))
+                   static_argnames=("tile_n", "out_dtype", "interpret"))
 def linear_w4a8(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
-                bias: Optional[jax.Array] = None, group: int = 128,
+                bias: Optional[jax.Array] = None,
                 tile_n: int = 2048, out_dtype=jnp.bfloat16,
                 interpret: bool = False) -> jax.Array:
     """x (..., K) float, w_p (K//2, N) packed int4, w_scale
-    (K//group, N) f32 -> (..., N).
+    (K//group, N) f32 -> (..., N).  The group size is inferred as
+    ``K // w_scale.shape[0]`` (must be even — the packing pairs rows
+    r and r + group/2).
 
     Grid/tiling contract mirrors ops/linear_int8.linear_w8a8: column
     tiles outer / row tiles inner, full-N column tiles when VMEM
@@ -142,8 +143,9 @@ def linear_w4a8(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
     if K != 2 * w_p.shape[0]:
         raise ValueError(f"x K={K} vs packed rows {w_p.shape[0]}")
     n_groups = w_scale.shape[0]
-    if n_groups * group != K:
-        raise ValueError(f"scales {n_groups} x group {group} != K={K}")
+    if K % n_groups or (K // n_groups) % 2:
+        raise ValueError(f"K={K} not an even multiple of {n_groups} groups")
+    group = K // n_groups
     T = 1
     for n in lead:
         T *= n

@@ -264,9 +264,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_samples", type=int, default=30)
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--precision", default="bf16",
-                        choices=["bf16", "int8"],
+                        choices=["bf16", "int8", "int4"],
                         help="judge decoder precision; int8 = W8A8 "
-                             "serving, ~1.5x decode throughput")
+                             "serving, ~1.5x decode throughput; int4 = "
+                             "group-128 W4A8, fastest decode with a "
+                             "real RTN accuracy cost")
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--accept_threshold", type=float, default=0.7)

@@ -105,8 +105,9 @@ def test_linear_w4a8_shape_validation(rng):
         linear_w4a8(jnp.zeros((4, 512)), jnp.asarray(w_p),
                     jnp.asarray(w_s), interpret=True)
     with pytest.raises(ValueError):
+        # scales rows that don't evenly divide K
         linear_w4a8(jnp.zeros((4, 256)), jnp.asarray(w_p),
-                    jnp.asarray(w_s), group=64, interpret=True)
+                    jnp.asarray(w_s[:1]).repeat(3, 0), interpret=True)
 
 
 def test_pick_tiles_w4_respects_budget():

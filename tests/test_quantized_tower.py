@@ -196,6 +196,86 @@ def test_int8_backend_matches_bf16_tokens(rng):
     assert outs["int8"] == outs["bf16"], outs
 
 
+def test_int4_qwen_decoder_matches(rng):
+    """W4A8 decoder projections (precision="int4") still track the
+    bf16 path on a tiny model — looser than int8 (4-bit RTN cosine
+    floor ~0.993/layer) but top-1 must remain dominant."""
+    from emr2a_tpu.models.qwen3_vl import QwenTextConfig, QwenTextModel
+    from emr2a_tpu.models.quantize import quantize_qwen_text_params
+
+    cfg = QwenTextConfig(vocab_size=200, hidden_size=48, num_layers=2,
+                         num_heads=4, num_kv_heads=2, head_dim=12,
+                         intermediate_size=96, mrope_section=(2, 2, 2))
+    m = QwenTextModel(cfg)
+    pos = jnp.asarray(np.broadcast_to(np.arange(7)[None, None], (3, 2, 7)))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, 48)),
+                    pos)["params"]
+    qp = quantize_qwen_text_params(params, precision="int4")
+    assert qp["layer_0"]["q_proj"]["kernel_p4"].dtype == np.int8
+    assert qp["layer_0"]["q_proj"]["kernel_p4"].shape[0] == 24  # K/2
+    assert "kernel" not in qp["layer_0"]["q_proj"]
+    x = jnp.asarray(rng.randn(2, 7, 48) * 0.5, jnp.float32)
+    ref, _ = m.apply({"params": params}, x, pos)
+    got, _ = m.apply({"params": qp}, x, pos)
+    a, b = np.asarray(ref, np.float64), np.asarray(got, np.float64)
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.7
+    # 4-bit RTN: ~0.993 cosine per projection compounds over 2 layers
+    # + lm_head to ~0.975 logit correlation on this toy model — the
+    # documented speed/accuracy tradeoff, not a kernel bug (kernel
+    # exactness is pinned by tests/test_linear_int4.py)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.95
+
+
+def test_int4_backend_generates(rng):
+    """QwenVLBackend(precision="int4") serves end-to-end through the
+    W4A8 kernel: output must be deterministic across backend
+    instances (greedy) and a nonempty token string.  bf16 token
+    equality is NOT asserted — 4-bit weight noise legitimately moves
+    toy-model logits (the numeric contract is pinned at model level
+    above and at kernel level in test_linear_int4.py)."""
+    pytest.importorskip("torch")
+    from tests.test_qwen3_vl_parity import tiny_hf_model
+    from tests.test_qwen_encoder_backend import ToyTokenizer
+    from emr2a_tpu.models.qwen3_vl import (convert_hf_qwen3_vl,
+                                           qwen3_vl_config_from_hf)
+    from emr2a_tpu.judge.qwen_backend import QwenVLBackend
+    from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
+
+    model, cfg = tiny_hf_model()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    mycfg = qwen3_vl_config_from_hf(cfg.to_dict())
+    params = convert_hf_qwen3_vl(sd, 3, 2)
+    proc = make_image_processor(mycfg.vision, min_pixels=16,
+                                max_pixels=16384)
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+
+    class NoStopTokenizer(ToyTokenizer):
+        # int4 logit noise makes the toy model's first greedy pick the
+        # eos token (=1) — park eos outside the vocab so the test can
+        # assert on real emitted content
+        eos_token_id = 10_000
+
+    outs = []
+    for _ in range(2):
+        be = QwenVLBackend(None, config=mycfg, params=params,
+                           tokenizer=NoStopTokenizer(),
+                           image_processor=proc, precision="int4")
+        outs.append(be.generate([img], "describe", max_new_tokens=8))
+    assert isinstance(outs[0], str) and len(outs[0].split()) == 8, outs
+    assert outs[0] == outs[1], outs
+
+
+def test_backend_rejects_unknown_precision():
+    from emr2a_tpu.judge.qwen_backend import QwenVLBackend
+    from emr2a_tpu.models.quantize import quantize_qwen_text_params
+    with pytest.raises(ValueError):
+        QwenVLBackend(None, config=object(), params={"language_model": {}},
+                      tokenizer=object(), image_processor=object(),
+                      precision="fp8")
+    with pytest.raises(ValueError):
+        quantize_qwen_text_params({}, precision="fp8")
+
+
 def test_quantized_dp_inference(mesh8):
     """fast="int8" composes with data-parallel inference: the W8A8
     kernels run per-chip inside shard_map (step2 --data_parallel
