@@ -59,13 +59,14 @@ def quantize_weight_int4(w, group: int = 128):
 def _unpack_nibbles(wp):
     """int8 bytes -> (low, high) s8 values in [-7, 7].
 
-    Arithmetic shifts sign-extend the high nibble directly; the low
-    nibble is extracted unsigned then recentred.
+    All bit ops run on i32 — Mosaic's native vector width (i16 shifts
+    fail to legalize: 'arith.shrsi' on vector<...xi16>, observed
+    on-chip).  Arithmetic shifts sign-extend the high nibble directly;
+    the low nibble sign-extends via the <<28 >>28 round trip.
     """
-    w16 = wp.astype(jnp.int16)
-    high = (w16 >> 4).astype(jnp.int8)    # arithmetic: sign-extends
-    low_u = (w16 & 0xF).astype(jnp.int8)
-    low = jnp.where(low_u >= 8, low_u - 16, low_u)
+    w32 = wp.astype(jnp.int32)
+    high = (w32 >> 4).astype(jnp.int8)
+    low = ((w32 << 28) >> 28).astype(jnp.int8)
     return low, high
 
 

@@ -49,14 +49,17 @@ _QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
-def materialize_quantized_on_device(model, key, lm_head_int8=True):
-    """Random-init a text model's params directly in the W8A8 serving
-    layout (kernel_q int8 + kernel_scale f32 for every layer_i
-    projection, bf16 elsewhere), leaf by leaf ON device.
+def materialize_quantized_on_device(model, key, lm_head_int8=True,
+                                    precision="int8"):
+    """Random-init a text model's params directly in the quantized
+    serving layout (``precision="int8"``: kernel_q int8 + kernel_scale
+    f32; ``"int4"``: kernel_p4 packed nibbles + group-128 kernel_scale4
+    — ops/linear_int4) for every layer_i projection, bf16 elsewhere,
+    leaf by leaf ON device.
 
     Never materializes the bf16 tree — at 8B geometry that alone is
     16.1 GB and OOMs a v5e before quantization could run.  Perf is
-    weight-agnostic, so random int8 weights measure exactly what
+    weight-agnostic, so random quantized weights measure exactly what
     converted real weights would.
     """
     ids1 = jnp.zeros((1, 1), jnp.int32)
@@ -80,25 +83,34 @@ def materialize_quantized_on_device(model, key, lm_head_int8=True):
         counter[0] += 1
         return jax.random.fold_in(key, counter[0])
 
+    def quant_entry(sub, int4):
+        K, N = tuple(sub["kernel"].shape)
+        if int4:
+            entry = {
+                "kernel_p4": make_q(fresh(), s=(K // 2, N)),
+                "kernel_scale4": jnp.full((K // 128, N), 5e-4,
+                                          jnp.float32),
+            }
+        else:
+            entry = {
+                "kernel_q": make_q(fresh(), s=(K, N)),
+                "kernel_scale": jnp.full((N,), 5e-4, jnp.float32),
+            }
+        if "bias" in sub:
+            entry["bias"] = make_f(fresh(), s=tuple(sub["bias"].shape),
+                                   d=sub["bias"].dtype)
+        return entry
+
     def walk(tree, in_layer):
         out = {}
         for name, sub in tree.items():
             layerish = in_layer or name.startswith("layer_")
             if isinstance(sub, dict):
-                if ((name == "lm_head" and lm_head_int8)
-                        or (in_layer and name in _QWEN_PROJS)
-                        ) and "kernel" in sub:
-                    k_shape = tuple(sub["kernel"].shape)
-                    entry = {
-                        "kernel_q": make_q(fresh(), s=k_shape),
-                        "kernel_scale": jnp.full((k_shape[1],), 5e-4,
-                                                 jnp.float32),
-                    }
-                    if "bias" in sub:
-                        entry["bias"] = make_f(
-                            fresh(), s=tuple(sub["bias"].shape),
-                            d=sub["bias"].dtype)
-                    out[name] = entry
+                if name == "lm_head" and lm_head_int8 and "kernel" in sub:
+                    out[name] = quant_entry(sub, False)
+                elif (in_layer and name in _QWEN_PROJS
+                      and "kernel" in sub):
+                    out[name] = quant_entry(sub, precision == "int4")
                 else:
                     out[name] = walk(sub, layerish)
             else:
@@ -152,7 +164,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--what", default="all", help="comma list: text,vision")
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "int8", "int4"])
     ap.add_argument("--geometry", default="2b", choices=["2b", "8b"])
     ap.add_argument("--json_out", default=None,
                     help="append one JSON line per metric here")
@@ -164,10 +177,10 @@ def main():
                          "(memory_stats is empty through the relay)")
     args = ap.parse_args()
     what = set(args.what.split(","))
-    if args.geometry == "8b" and args.precision != "int8":
+    if args.geometry == "8b" and args.precision == "bf16":
         ap.error("8B bf16 params (16.1 GB) exceed single-chip HBM; "
-                 "use --precision int8 (single chip) or the TP path "
-                 "(dryrun_multichip)")
+                 "use --precision int8/int4 (single chip) or the TP "
+                 "path (dryrun_multichip)")
 
     records = []
 
@@ -210,7 +223,8 @@ def main():
             # intermediate bf16 tree (it would OOM the chip)
             params = materialize_quantized_on_device(
                 model, jax.random.PRNGKey(0),
-                lm_head_int8=args.lm_head == "int8")
+                lm_head_int8=args.lm_head == "int8",
+                precision=args.precision)
         else:
             ids1 = jnp.zeros((1, 1), jnp.int32)
             pos1 = jnp.zeros((3, 1, 1), jnp.int32)
@@ -218,11 +232,13 @@ def main():
                 lambda x: (x.astype(jnp.bfloat16)
                            if x.dtype == jnp.float32 else x),
                 model.init(k, ids1, pos1)["params"]))(jax.random.PRNGKey(0))
-            if args.precision == "int8":
+            if args.precision in ("int8", "int4"):
                 from emr2a_tpu.models.quantize import (
                     quantize_qwen_text_params)
                 params = {**params, "language_model":
-                          quantize_qwen_text_params(params["language_model"])}
+                          quantize_qwen_text_params(
+                              params["language_model"],
+                              precision=args.precision)}
                 params = jax.device_put(params)
         jax.block_until_ready(params)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
