@@ -151,7 +151,7 @@ def _quantize_rows(h):
 
 def _mlp_kernel_int8(x_ref, w1_hbm, s1_ref, b1_ref, w2_hbm, s2_ref, b2_ref,
                      s_ref, b_ref, o_ref, w1_ref, w2_ref, sems, *,
-                     eps: float, activation: str):
+                     eps: float, activation: str, act_dtype):
     @pl.when(pl.program_id(0) == 0)
     def _load_weights():
         w1_dma = pltpu.make_async_copy(w1_hbm, w1_ref, sems.at[0])
@@ -175,7 +175,10 @@ def _mlp_kernel_int8(x_ref, w1_hbm, s1_ref, b1_ref, w2_hbm, s2_ref, b2_ref,
         preferred_element_type=jnp.int32)
     h1 = (acc.astype(jnp.float32) * xscale * s1_ref[0, :]
           + b1_ref[0, :])
-    h1 = _KERNEL_ACTIVATIONS[activation](h1)
+    # bf16 act_dtype halves the VPU transcendental cost (same knob as
+    # the bf16 kernel; quantize stays f32 for exact scales)
+    h1 = _KERNEL_ACTIVATIONS[activation](
+        h1.astype(act_dtype)).astype(jnp.float32)
 
     q2, x2scale = _quantize_rows(h1)
     acc2 = jax.lax.dot_general(
@@ -187,12 +190,14 @@ def _mlp_kernel_int8(x_ref, w1_hbm, s1_ref, b1_ref, w2_hbm, s2_ref, b2_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps", "activation", "tile", "interpret"))
+                   static_argnames=("eps", "activation", "tile", "act_dtype",
+                                    "interpret"))
 def fused_ln_mlp_int8(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                       w1_q: jax.Array, w1_scale: jax.Array, b1: jax.Array,
                       w2_q: jax.Array, w2_scale: jax.Array, b2: jax.Array,
                       eps: float = 1e-6, activation: str = "gelu",
-                      tile: int = 256, interpret: bool = False) -> jax.Array:
+                      tile: int = 256, act_dtype=jnp.float32,
+                      interpret: bool = False) -> jax.Array:
     """x (T, d) -> x + MLP(LN(x)) with W8A8 int8 matmuls.
 
     ``w*_q`` int8 from :func:`quantize_weight_int8`, ``w*_scale`` the
@@ -208,7 +213,8 @@ def fused_ln_mlp_int8(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel_int8, eps=eps, activation=activation),
+        functools.partial(_mlp_kernel_int8, eps=eps, activation=activation,
+                          act_dtype=act_dtype),
         grid=(tp // tile,),
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0),

@@ -191,12 +191,15 @@ def main():
                 block_b=args.block_b, valid_len=197)
             y2 = fused_ln_mlp_int8(y.reshape(B * 200, d), s2, b2v,
                                    q1, sc1, bb1, q2, sc2, bb2,
+                                   act_dtype=jnp.bfloat16 if args.act_bf16
+                                   else jnp.float32,
                                    tile=args.tile).reshape(B, 200, d)
             return y2 * jnp.bfloat16(0.5)
 
         timed_chain(block_iter8, x, args.iters,
                     f"int8 block bb={args.block_b} hg={args.head_group} "
-                    f"tile={args.tile}")
+                    f"tile={args.tile}"
+                    f"{' act=bf16' if args.act_bf16 else ''}")
 
     if {"tune"} & what and not args.int8:
         # One composed block with explicit kernel parameters (bypasses
