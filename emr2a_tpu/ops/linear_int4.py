@@ -70,15 +70,18 @@ def _unpack_nibbles(wp):
     return low, high
 
 
-def _linear_kernel_w4(x_ref, w_ref, ws_ref, b_ref, o_ref, *,
-                      out_dtype, group: int, n_groups: int):
+def _quantize_tile(x_ref):
     xf = x_ref[:, :].astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
     xq = jnp.clip(jnp.round(xf * (1.0 / xs)), -127, 127).astype(jnp.int8)
+    return xq, xs
 
+
+def _w4_dot(xq, xs, w_ref, ws_ref, b_ref, o_ref, *,
+            out_dtype, group: int, n_groups: int):
     h = group // 2
-    y = jnp.zeros((x_ref.shape[0], o_ref.shape[1]), jnp.float32)
+    y = jnp.zeros((xq.shape[0], o_ref.shape[1]), jnp.float32)
     for g in range(n_groups):
         low, high = _unpack_nibbles(w_ref[g * h:(g + 1) * h, :])
         acc = jax.lax.dot_general(
@@ -96,6 +99,29 @@ def _linear_kernel_w4(x_ref, w_ref, ws_ref, b_ref, o_ref, *,
     o_ref[:, :] = y.astype(out_dtype)
 
 
+def _linear_kernel_w4(x_ref, w_ref, ws_ref, b_ref, o_ref, *,
+                      out_dtype, group: int, n_groups: int):
+    xq, xs = _quantize_tile(x_ref)
+    _w4_dot(xq, xs, w_ref, ws_ref, b_ref, o_ref, out_dtype=out_dtype,
+            group=group, n_groups=n_groups)
+
+
+def _linear_kernel_w4_cached(x_ref, w_ref, ws_ref, b_ref, o_ref,
+                             xq_ref, xs_ref, *,
+                             out_dtype, group: int, n_groups: int):
+    # Single-row-tile variant: the grid runs column tiles, so the row
+    # quantize is cached in scratch on the first column tile instead of
+    # recomputed per tile (same fix as linear_int8, measured there).
+    @pl.when(pl.program_id(0) == 0)
+    def _quantize_once():
+        xq, xs = _quantize_tile(x_ref)
+        xq_ref[:, :] = xq
+        xs_ref[:, :] = xs
+
+    _w4_dot(xq_ref[:, :], xs_ref[:, :], w_ref, ws_ref, b_ref, o_ref,
+            out_dtype=out_dtype, group=group, n_groups=n_groups)
+
+
 _VMEM_BUDGET = 12 * 2**20
 
 
@@ -108,9 +134,10 @@ def _pick_tiles_w4(tp: int, K: int, N: int, tile_n_max: int,
     temporaries (i16 + two s8 blocks per group, single-buffered).
     """
     def vmem(tile_t, tile_n):
+        # 6x tile_t*K: quantize stack temps + the xq scratch cache
         return (2 * (tile_t * K * in_itemsize + K // 2 * tile_n
                      + tile_t * tile_n * out_itemsize)
-                + 5 * tile_t * K + 4 * tile_t * tile_n + 16 * tile_n)
+                + 6 * tile_t * K + 4 * tile_t * tile_n + 16 * tile_n)
 
     np128 = -(-N // 128) * 128
     tile_n = min(np128, tile_n_max)
@@ -170,17 +197,19 @@ def linear_w4a8(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
         pl.BlockSpec((n_groups, tile_n), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
     ]
+    cached = tp == tile_t
+    base = _linear_kernel_w4_cached if cached else _linear_kernel_w4
     if bias is not None:
         operands.append(jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
                                 [(0, 0), (0, np_ - N)]))
         in_specs.append(pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
                                      memory_space=pltpu.VMEM))
-        kernel = functools.partial(_linear_kernel_w4, out_dtype=out_dtype,
+        kernel = functools.partial(base, out_dtype=out_dtype,
                                    group=group, n_groups=n_groups)
     else:
         kernel = functools.partial(
-            lambda x_ref, w_ref, ws_ref, o_ref, **kw:
-            _linear_kernel_w4(x_ref, w_ref, ws_ref, None, o_ref, **kw),
+            lambda x_ref, w_ref, ws_ref, o_ref, *scratch, _k=base, **kw:
+            _k(x_ref, w_ref, ws_ref, None, o_ref, *scratch, **kw),
             out_dtype=out_dtype, group=group, n_groups=n_groups)
     out = pl.pallas_call(
         kernel,
@@ -189,6 +218,9 @@ def linear_w4a8(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
         out_specs=pl.BlockSpec((tile_t, tile_n), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, np_), out_dtype),
+        scratch_shapes=([pltpu.VMEM((tile_t, K), jnp.int8),
+                         pltpu.VMEM((tile_t, 1), jnp.float32)]
+                        if cached else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * K * np_,

@@ -98,6 +98,28 @@ def test_linear_w4a8_leading_axes(rng):
                                np.asarray(flat), rtol=1e-6)
 
 
+def test_linear_w4a8_multi_row_tile(rng):
+    """Multi-row-tile grids exercise the uncached kernel; result must
+    match the default (single-tile, scratch-cached) path."""
+    import emr2a_tpu.ops.linear_int4 as li
+
+    x = (rng.randn(70, 256) * 0.3).astype(np.float32)
+    w = (rng.randn(256, 128) * 0.05).astype(np.float32)
+    w_p, w_s = quantize_weight_int4(w)
+    ref = np.asarray(linear_w4a8(jnp.asarray(x), jnp.asarray(w_p),
+                                 jnp.asarray(w_s), out_dtype=jnp.float32,
+                                 interpret=True))
+    orig = li._pick_tiles_w4
+    li._pick_tiles_w4 = lambda *a: (32, 128)   # 3 row tiles
+    try:
+        got = np.asarray(linear_w4a8(jnp.asarray(x), jnp.asarray(w_p),
+                                     jnp.asarray(w_s),
+                                     out_dtype=jnp.float32, interpret=True))
+    finally:
+        li._pick_tiles_w4 = orig
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_linear_w4a8_shape_validation(rng):
     w = (rng.randn(256, 128)).astype(np.float32)
     w_p, w_s = quantize_weight_int4(w)

@@ -54,6 +54,32 @@ def test_linear_w8a8_leading_axes(rng):
     assert out.shape == (3, 5, 32)
 
 
+def test_linear_w8a8_multi_row_tile(rng):
+    """T larger than the row-tile cap exercises the uncached kernel
+    (quantize inline per tile) — must match the single-tile path."""
+    import emr2a_tpu.ops.linear_int8 as li
+
+    x = (rng.randn(70, 128) * 0.3).astype(np.float32)
+    w = (rng.randn(128, 128) * 0.05).astype(np.float32)
+    from emr2a_tpu.ops.linear_int8 import quantize_rows
+    q, scale = quantize_rows(jnp.asarray(x))
+    wq = np.clip(np.round(w / (np.abs(w).max(0) / 127)), -127,
+                 127).astype(np.int8)
+    ws = (np.abs(w).max(0) / 127).astype(np.float32)
+
+    orig = li._pick_tiles
+    li._pick_tiles = lambda *a: (32, 128)   # 3 row tiles, 1 col tile
+    try:
+        got = np.asarray(linear_w8a8(jnp.asarray(x), jnp.asarray(wq),
+                                     jnp.asarray(ws),
+                                     out_dtype=jnp.float32, interpret=True))
+    finally:
+        li._pick_tiles = orig
+    ref = (np.asarray(q, np.float32) * np.asarray(scale)) @ (
+        wq.astype(np.float32) * ws)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_pick_tiles_respects_budget():
     """Every shape the serving paths hit stays under the VMEM budget
     (double-buffered blocks + the in-kernel quantize temporaries),
