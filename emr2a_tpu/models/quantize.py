@@ -104,9 +104,25 @@ def _quantize_dense_int4(entry: Dict) -> Dict:
     return out
 
 
+def _fuse_entries(layer: Dict, names, out_name: str) -> Dict:
+    """Concatenate projection kernels (and biases, if any) along the
+    output axis into one entry — one streaming-kernel dispatch and one
+    activation quantize instead of len(names).  Column scales are
+    per-output-column, so quantizing the concatenated kernel is
+    numerically identical to quantizing the parts."""
+    kernel = np.concatenate(
+        [np.asarray(layer[n]["kernel"], np.float32) for n in names], axis=1)
+    entry = {"kernel": kernel}
+    if all("bias" in layer[n] for n in names):
+        entry["bias"] = np.concatenate(
+            [np.asarray(layer[n]["bias"], np.float32) for n in names])
+    return entry
+
+
 def quantize_qwen_text_params(params: Dict,
                               lm_head_int8: bool = False,
-                              precision: str = "int8") -> Dict:
+                              precision: str = "int8",
+                              fuse_projs: bool = False) -> Dict:
     """Qwen text-model params -> W8A8 (or W4A8) decoder layers.
 
     Quantizes the seven projections of every ``layer_i``
@@ -131,6 +147,22 @@ def quantize_qwen_text_params(params: Dict,
         for proj in _QWEN_PROJS:
             if proj in layer and "kernel" in layer[proj]:
                 out[proj] = quant(layer[proj])
+        if fuse_projs:
+            # ``fuse_projs``: merge q/k/v and gate/up into single
+            # entries (QwenTextDecoderLayer routes on qkv_proj /
+            # gate_up_proj) — fewer kernel dispatches per layer and one
+            # activation quantize per fused group.  Serving-only,
+            # single-chip layout (TP shardings name the unfused projs).
+            qkv = ("q_proj", "k_proj", "v_proj")
+            if all(p in layer and "kernel" in layer[p] for p in qkv):
+                out["qkv_proj"] = quant(_fuse_entries(layer, qkv, "qkv"))
+                for p in qkv:
+                    del out[p]
+            gu = ("gate_proj", "up_proj")
+            if all(p in layer and "kernel" in layer[p] for p in gu):
+                out["gate_up_proj"] = quant(_fuse_entries(layer, gu, "gu"))
+                for p in gu:
+                    del out[p]
         return out
 
     out = {name: (one_layer(sub) if name.startswith("layer_") else sub)

@@ -411,9 +411,20 @@ class QwenTextDecoderLayer(nn.Module):
         hd = cfg.head_dim
 
         h = RMSNorm(cfg.rms_norm_eps, name="input_ln")(x)
-        q = self._dense("q_proj", cfg.num_heads * hd, cfg.attention_bias, h)
-        k = self._dense("k_proj", cfg.num_kv_heads * hd, cfg.attention_bias, h)
-        v = self._dense("v_proj", cfg.num_kv_heads * hd, cfg.attention_bias, h)
+        nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        if (not self.is_initializing()
+                and self.variables["params"].get("qkv_proj") is not None):
+            # fused serving layout (quantize_qwen_text_params
+            # fuse_projs=True): one dispatch + one activation quantize
+            # for q/k/v
+            qkv = self._dense("qkv_proj", nq + 2 * nkv,
+                              cfg.attention_bias, h)
+            q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nkv],
+                       qkv[..., nq + nkv:])
+        else:
+            q = self._dense("q_proj", nq, cfg.attention_bias, h)
+            k = self._dense("k_proj", nkv, cfg.attention_bias, h)
+            v = self._dense("v_proj", nkv, cfg.attention_bias, h)
         q = q.reshape(B, S, cfg.num_heads, hd)
         k = k.reshape(B, S, cfg.num_kv_heads, hd)
         v = v.reshape(B, S, cfg.num_kv_heads, hd)
@@ -453,8 +464,14 @@ class QwenTextDecoderLayer(nn.Module):
 
         h = RMSNorm(cfg.rms_norm_eps, name="post_ln")(x)
         act = ACTIVATIONS[cfg.hidden_act]
-        gate = self._dense("gate_proj", cfg.intermediate_size, False, h)
-        up = self._dense("up_proj", cfg.intermediate_size, False, h)
+        I = cfg.intermediate_size
+        if (not self.is_initializing()
+                and self.variables["params"].get("gate_up_proj") is not None):
+            gu = self._dense("gate_up_proj", 2 * I, False, h)
+            gate, up = gu[..., :I], gu[..., I:]
+        else:
+            gate = self._dense("gate_proj", I, False, h)
+            up = self._dense("up_proj", I, False, h)
         down = self._dense("down_proj", d, False, act(gate) * up)
         return x + down, new_cache
 

@@ -50,7 +50,7 @@ _QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
 
 
 def materialize_quantized_on_device(model, key, lm_head_int8=True,
-                                    precision="int8"):
+                                    precision="int8", fuse_projs=False):
     """Random-init a text model's params directly in the quantized
     serving layout (``precision="int8"``: kernel_q int8 + kernel_scale
     f32; ``"int4"``: kernel_p4 packed nibbles + group-128 kernel_scale4
@@ -101,9 +101,25 @@ def materialize_quantized_on_device(model, key, lm_head_int8=True,
                                    d=sub["bias"].dtype)
         return entry
 
+    _FUSES = {"qkv_proj": ("q_proj", "k_proj", "v_proj"),
+              "gate_up_proj": ("gate_proj", "up_proj")}
+
     def walk(tree, in_layer):
         out = {}
+        fused_away = set()
+        if in_layer and fuse_projs:
+            for fname, parts in _FUSES.items():
+                if all(p in tree and "kernel" in tree[p] for p in parts):
+                    K = tree[parts[0]]["kernel"].shape[0]
+                    N = sum(tree[p]["kernel"].shape[1] for p in parts)
+                    out[fname] = quant_entry(
+                        {"kernel": jax.ShapeDtypeStruct((K, N),
+                                                        jnp.float32)},
+                        precision == "int4")
+                    fused_away.update(parts)
         for name, sub in tree.items():
+            if name in fused_away:
+                continue
             layerish = in_layer or name.startswith("layer_")
             if isinstance(sub, dict):
                 if name == "lm_head" and lm_head_int8 and "kernel" in sub:
@@ -172,6 +188,9 @@ def main():
     ap.add_argument("--lm_head", default="bf16", choices=["int8", "bf16"],
                     help="8B lm_head precision (bf16 default: int8 "
                          "trades -24ms prefill for +1.5ms/token decode)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse q/k/v and gate/up projections "
+                         "(quantize_qwen_text_params fuse_projs)")
     ap.add_argument("--hbm_probe", action="store_true",
                     help="binary-search ballast to bound peak HBM "
                          "(memory_stats is empty through the relay)")
@@ -188,6 +207,8 @@ def main():
         rec = {"metric": metric, "value": round(float(value), 3),
                "unit": unit, "geometry": args.geometry,
                "precision": args.precision}
+        if args.fuse:
+            rec["fused_projs"] = True
         records.append(rec)
         print(json.dumps(rec), flush=True)
         if args.json_out:  # flush per metric — a later crash (e.g. the
@@ -224,7 +245,7 @@ def main():
             params = materialize_quantized_on_device(
                 model, jax.random.PRNGKey(0),
                 lm_head_int8=args.lm_head == "int8",
-                precision=args.precision)
+                precision=args.precision, fuse_projs=args.fuse)
         else:
             ids1 = jnp.zeros((1, 1), jnp.int32)
             pos1 = jnp.zeros((3, 1, 1), jnp.int32)
@@ -238,7 +259,8 @@ def main():
                 params = {**params, "language_model":
                           quantize_qwen_text_params(
                               params["language_model"],
-                              precision=args.precision)}
+                              precision=args.precision,
+                              fuse_projs=args.fuse)}
                 params = jax.device_put(params)
         jax.block_until_ready(params)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -55,8 +55,8 @@ def test_linear_w8a8_leading_axes(rng):
 
 
 def test_linear_w8a8_multi_row_tile(rng):
-    """T larger than the row-tile cap exercises the uncached kernel
-    (quantize inline per tile) — must match the single-tile path."""
+    """T larger than the row-tile cap exercises the split-quantize
+    (s8-streaming) kernel — must match the fused single-tile path."""
     import emr2a_tpu.ops.linear_int8 as li
 
     x = (rng.randn(70, 128) * 0.3).astype(np.float32)
@@ -68,7 +68,7 @@ def test_linear_w8a8_multi_row_tile(rng):
     ws = (np.abs(w).max(0) / 127).astype(np.float32)
 
     orig = li._pick_tiles
-    li._pick_tiles = lambda *a: (32, 128)   # 3 row tiles, 1 col tile
+    li._pick_tiles = lambda *a: (32, 128, False)  # 3 row tiles, split
     try:
         got = np.asarray(linear_w8a8(jnp.asarray(x), jnp.asarray(wq),
                                      jnp.asarray(ws),
@@ -82,22 +82,30 @@ def test_linear_w8a8_multi_row_tile(rng):
 
 def test_pick_tiles_respects_budget():
     """Every shape the serving paths hit stays under the VMEM budget
-    (double-buffered blocks + the in-kernel quantize temporaries),
-    including the 8B-geometry prefill that OOM'd the untiled kernel
-    (1024 rows x K=12288)."""
+    in its chosen mode (fused charges the quantize temporaries + xq
+    scratch; split streams 1-byte activations), including the
+    8B-geometry prefill that OOM'd the untiled kernel."""
     from emr2a_tpu.ops.linear_int8 import _VMEM_BUDGET
 
     for tp, K, N in [(32, 6144, 4096), (32, 12288, 4096),
                      (1024, 12288, 4096), (1024, 4096, 12288),
                      (16384, 768, 768), (256, 3072, 768)]:
-        tile_t, tile_n = _pick_tiles(tp, K, N, 2048, 2, 2)
+        tile_t, tile_n, fused = _pick_tiles(tp, K, N, 2048, 2, 2)
         assert tile_t >= 32 and tile_n >= 128
         assert tile_t <= max(tp, 32)
-        used = (2 * (tile_t * K * 2 + K * tile_n + tile_t * tile_n * 2)
-                + 5 * tile_t * K + 12 * tile_n)
+        if fused:
+            assert tile_t == tp  # fused only with a single row tile
+            used = (2 * (tile_t * K * 2 + K * tile_n
+                         + tile_t * tile_n * 2)
+                    + 6 * tile_t * K + 12 * tile_n)
+        else:
+            used = (2 * (tile_t * K + K * tile_n + tile_t * tile_n * 2)
+                    + 12 * tile_n + 8 * tile_t)
         assert used <= _VMEM_BUDGET, (tp, K, N, tile_t, tile_n, used)
-    # the encoder shape gets a full-N single-column grid (both operands
-    # stream through HBM exactly once — the measured winner)
-    assert _pick_tiles(18464, 1024, 1024, 2048, 2, 2)[1] == 1024
-    # decode keeps one row tile so weights stream through exactly once
-    assert _pick_tiles(32, 6144, 4096, 2048, 2, 2)[0] == 32
+    # the encoder shape takes the split path with a full-N
+    # single-column grid (both operands stream through HBM exactly
+    # once — the measured winner, 0.221 ms)
+    assert _pick_tiles(18464, 1024, 1024, 2048, 2, 2)[1:] == (1024, False)
+    # decode keeps one row tile (weights stream exactly once) on the
+    # fused path (quantize cached in-kernel, no separate XLA pass)
+    assert _pick_tiles(32, 6144, 4096, 2048, 2, 2)[::2] == (32, True)

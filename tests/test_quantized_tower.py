@@ -226,6 +226,36 @@ def test_int4_qwen_decoder_matches(rng):
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.95
 
 
+@pytest.mark.parametrize("precision", ["int8", "int4"])
+def test_fused_projections_match_unfused(rng, precision):
+    """fuse_projs=True merges q/k/v and gate/up into single streaming
+    calls; per-column scales make the math identical, so logits must
+    match the unfused quantized path to float tolerance."""
+    from emr2a_tpu.models.qwen3_vl import QwenTextConfig, QwenTextModel
+    from emr2a_tpu.models.quantize import quantize_qwen_text_params
+
+    cfg = QwenTextConfig(vocab_size=200, hidden_size=48, num_layers=2,
+                         num_heads=4, num_kv_heads=2, head_dim=12,
+                         intermediate_size=96, mrope_section=(2, 2, 2))
+    m = QwenTextModel(cfg)
+    pos = jnp.asarray(np.broadcast_to(np.arange(7)[None, None], (3, 2, 7)))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, 48)),
+                    pos)["params"]
+    qp = quantize_qwen_text_params(params, precision=precision)
+    fp = quantize_qwen_text_params(params, precision=precision,
+                                   fuse_projs=True)
+    assert "qkv_proj" in fp["layer_0"] and "q_proj" not in fp["layer_0"]
+    assert "gate_up_proj" in fp["layer_0"]
+    x = jnp.asarray(rng.randn(2, 7, 48) * 0.5, jnp.float32)
+    ref, _ = m.apply({"params": qp}, x, pos)
+    got, _ = m.apply({"params": fp}, x, pos)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # strict agreement where it matters: same greedy choices
+    assert (np.asarray(ref).argmax(-1) == np.asarray(got).argmax(-1)).all()
+
+
 def test_int4_backend_generates(rng):
     """QwenVLBackend(precision="int4") serves end-to-end through the
     W4A8 kernel: output must be deterministic across backend
