@@ -186,53 +186,68 @@ class VLMAuditModule:
 
     # -- querying --
 
+    def _build_audit_request(self, evidence_package: Dict,
+                             predicted_label: str,
+                             prompt_template: Optional[str] = None
+                             ) -> Optional[Dict]:
+        """Assemble the generation request for one audit case: query
+        images + first image of the top-3 neighbors + formatted prompt
+        (vlm_audit_module.py:249-330).  Returns ``{images, prompt,
+        cited_neighbors}`` or None if no usable images exist."""
+        if prompt_template is None:
+            from emr2a_tpu.judge.prompts import get_vlm_audit_prompt
+            prompt_template = get_vlm_audit_prompt()
+
+        query_images = evidence_package.get("query_images", [])
+        if not query_images:
+            logger.error("No query images found")
+            return None
+
+        images = [Image.open(p).convert("RGB") for p in query_images
+                  if Path(p).exists()]
+
+        neighbors = evidence_package.get("neighbors", [])
+        cited_neighbors = []
+        for neighbor in neighbors[:3]:
+            imgs = neighbor.get("images", [])
+            if imgs and Path(imgs[0]).exists():
+                images.append(Image.open(imgs[0]).convert("RGB"))
+                cited_neighbors.append(neighbor["rank"])
+
+        if not images:
+            logger.error("No valid images found")
+            return None
+
+        neighbor_text = "\n".join(
+            f"  [{n['rank']}] ID: {n['id']}, Label: {n['label']}, "
+            f"Similarity: {n['similarity']:.3f}"
+            for n in neighbors[:3])
+
+        prompt = prompt_template.format(
+            query_text=evidence_package["query_text"],
+            predicted_label=predicted_label,
+            neighbor_info=neighbor_text)
+        return {"images": images, "prompt": prompt,
+                "cited_neighbors": cited_neighbors}
+
     def query_vlm_audit(self, evidence_package: Dict, predicted_label: str,
                         prompt_template: Optional[str] = None,
                         temperature: float = 0.0) -> Optional[Dict]:
         if self.backend is None:
             logger.warning("VLM backend not loaded")
             return None
-        if prompt_template is None:
-            from emr2a_tpu.judge.prompts import get_vlm_audit_prompt
-            prompt_template = get_vlm_audit_prompt()
-
         try:
-            query_images = evidence_package.get("query_images", [])
-            if not query_images:
-                logger.error("No query images found")
+            request = self._build_audit_request(
+                evidence_package, predicted_label, prompt_template)
+            if request is None:
                 return None
-
-            images = [Image.open(p).convert("RGB") for p in query_images
-                      if Path(p).exists()]
-
-            neighbors = evidence_package.get("neighbors", [])
-            cited_neighbors = []
-            for neighbor in neighbors[:3]:
-                imgs = neighbor.get("images", [])
-                if imgs and Path(imgs[0]).exists():
-                    images.append(Image.open(imgs[0]).convert("RGB"))
-                    cited_neighbors.append(neighbor["rank"])
-
-            if not images:
-                logger.error("No valid images found")
-                return None
-
-            neighbor_text = "\n".join(
-                f"  [{n['rank']}] ID: {n['id']}, Label: {n['label']}, "
-                f"Similarity: {n['similarity']:.3f}"
-                for n in neighbors[:3])
-
-            prompt = prompt_template.format(
-                query_text=evidence_package["query_text"],
-                predicted_label=predicted_label,
-                neighbor_info=neighbor_text)
-
             output_text = self.backend.generate(
-                images, prompt, max_new_tokens=1024, temperature=temperature)
+                request["images"], request["prompt"],
+                max_new_tokens=1024, temperature=temperature)
 
             result = parse_audit_output(output_text)
-            if result and cited_neighbors:
-                result["cited_neighbors"] = cited_neighbors
+            if result and request["cited_neighbors"]:
+                result["cited_neighbors"] = request["cited_neighbors"]
             return result
         except Exception as e:
             logger.error("Error querying VLM: %s", e, exc_info=True)
@@ -257,18 +272,76 @@ class VLMAuditModule:
                     top_neighbors_list: List[List[Tuple[str, str, float]]],
                     manifest: List[Dict], output_dir: Path,
                     base_dir: Optional[Path] = None,
-                    prompt_template: Optional[str] = None) -> Dict:
+                    prompt_template: Optional[str] = None,
+                    vlm_batch_size: int = 1) -> Dict:
+        """``vlm_batch_size > 1`` serves that many audit cases per
+        prefill+decode through the backend's ``generate_batch`` (decode
+        is weight-bandwidth-bound, so N cases cost ~1x decode wall time
+        — docs/PERF_NOTES.md).  Default 1 keeps the reference's
+        one-case-at-a-time loop (vlm_audit_module.py:651-734); failed
+        items still degrade individually to abstain."""
         logger.info("Starting VLM audit on %d samples", len(query_patients))
+        samples = list(zip(query_patients, top_neighbors_list,
+                           retrieval_predictions))
+        vlm_results: List[Optional[Dict]] = []
+        batched = (vlm_batch_size > 1 and self.backend is not None
+                   and hasattr(self.backend, "generate_batch"))
+        if batched:
+            requests: List[Optional[Dict]] = []
+            for query_patient, top_neighbors, pred_label in samples:
+                try:
+                    evidence = self.construct_evidence_package(
+                        query_patient, top_neighbors, manifest, output_dir,
+                        base_dir)
+                    requests.append(self._build_audit_request(
+                        evidence, pred_label, prompt_template))
+                except Exception as e:
+                    logger.error("Evidence build failed: %s", e)
+                    requests.append(None)
+            vlm_results = [None] * len(samples)
+            live = [i for i, r in enumerate(requests) if r is not None]
+            for chunk_start in range(0, len(live), vlm_batch_size):
+                chunk = live[chunk_start:chunk_start + vlm_batch_size]
+                logger.info("Auditing batch of %d (samples %s)", len(chunk),
+                            [i + 1 for i in chunk])
+                try:
+                    outputs = self.backend.generate_batch(
+                        [requests[i] for i in chunk], max_new_tokens=1024)
+                except Exception as e:
+                    logger.error("Batched VLM query failed, falling back "
+                                 "to per-item: %s", e)
+                    outputs = []
+                    for i in chunk:
+                        try:
+                            outputs.append(self.backend.generate(
+                                requests[i]["images"], requests[i]["prompt"],
+                                max_new_tokens=1024))
+                        except Exception as e2:
+                            logger.error("VLM query failed: %s", e2)
+                            outputs.append(None)
+                for i, output_text in zip(chunk, outputs):
+                    if output_text is None:
+                        continue
+                    result = parse_audit_output(output_text)
+                    if result and requests[i]["cited_neighbors"]:
+                        result["cited_neighbors"] = \
+                            requests[i]["cited_neighbors"]
+                    vlm_results[i] = result
+        else:
+            for idx, (query_patient, top_neighbors, pred_label) in enumerate(
+                    samples):
+                logger.info("Auditing sample %d/%d: %s", idx + 1,
+                            len(samples),
+                            query_patient.get("patient_id", "unknown"))
+                evidence = self.construct_evidence_package(
+                    query_patient, top_neighbors, manifest, output_dir,
+                    base_dir)
+                vlm_results.append(self.query_vlm_audit(
+                    evidence, pred_label, prompt_template=prompt_template))
+
         audit_results = []
-        for idx, (query_patient, top_neighbors, pred_label) in enumerate(zip(
-                query_patients, top_neighbors_list, retrieval_predictions)):
-            logger.info("Auditing sample %d/%d: %s", idx + 1,
-                        len(query_patients),
-                        query_patient.get("patient_id", "unknown"))
-            evidence = self.construct_evidence_package(
-                query_patient, top_neighbors, manifest, output_dir, base_dir)
-            vlm_result = self.query_vlm_audit(
-                evidence, pred_label, prompt_template=prompt_template)
+        for (query_patient, top_neighbors, pred_label), vlm_result in zip(
+                samples, vlm_results):
             if vlm_result is None:
                 vlm_result = {"decision": "abstain", "confidence": 0.0,
                               "cited_neighbors": [],

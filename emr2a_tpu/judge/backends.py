@@ -50,6 +50,17 @@ class FakeVLMBackend:
         self._i += 1
         return out
 
+    def generate_batch(self, requests, max_new_tokens=1024,
+                       temperature=0.0, top_p=0.9):
+        """Batched protocol of the production backend
+        (qwen_backend.QwenVLBackend.generate_batch); records the batch
+        sizes it was handed so tests can assert the batching shape."""
+        self.batch_calls = getattr(self, "batch_calls", [])
+        self.batch_calls.append(len(requests))
+        return [self.generate(r["images"], r["prompt"], r.get("system"),
+                              max_new_tokens, temperature)
+                for r in requests]
+
 
 def load_backend(model_path: Optional[str], device: str = "tpu",
                  precision: str = "bf16") -> Optional[VLMBackend]:

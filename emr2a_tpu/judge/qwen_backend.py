@@ -34,7 +34,8 @@ class QwenVLBackend:
     def __init__(self, model_path: str, device: str = "tpu",
                  config=None, params=None, tokenizer=None,
                  image_processor=None, prompt_bucket: int = 128,
-                 cache_params: bool = True, precision: str = "bf16"):
+                 cache_params: bool = True, precision: str = "bf16",
+                 standardize_images: Optional[int] = None):
         """``precision="int8"`` quantizes the decoder projections W8A8
         (models/quantize.quantize_qwen_text_params) — decode is weight-
         bandwidth-bound, int8 nearly halves the stream; tiny-model
@@ -42,9 +43,15 @@ class QwenVLBackend:
         ``precision="int4"`` uses group-128 4-bit weights
         (ops/linear_int4) — halves the decode stream again; RTN 4-bit
         carries real accuracy cost, so int8 stays the accuracy-safe
-        default recommendation for the judge."""
+        default recommendation for the judge.
+
+        ``standardize_images=N`` resizes every input image to NxN before
+        patchify, pinning the vision grid: each distinct grid layout is
+        a separate XLA compile, so mixed-resolution corpora (or batched
+        serving over them) otherwise recompile per layout."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
+        self.standardize_images = standardize_images
         if params is None:
             mp = Path(model_path)
             with (mp / "config.json").open() as f:
@@ -132,17 +139,20 @@ class QwenVLBackend:
                 out.append(t)
         return out
 
-    def generate(self, images: Sequence, prompt: str,
-                 system: Optional[str] = None, max_new_tokens: int = 1024,
-                 temperature: float = 0.0, top_p: float = 0.9) -> str:
-        """temperature<=0 is greedy; otherwise nucleus sampling with
-        ``top_p`` (the reference's do_sample/top_p semantics,
-        llms/qwen3_llm.py:103-113)."""
+    def _prepare(self, images: Sequence, prompt: str,
+                 system: Optional[str]):
+        """Process one request to (ids, patches, grids)."""
         images = list(images)
         patches_list = []
         grids: List[Tuple[int, int, int]] = []
         tokens_per_image = []
         for img in images:
+            if self.standardize_images:
+                n = self.standardize_images
+                from PIL import Image
+                img = Image.fromarray(np.asarray(img)) \
+                    if not hasattr(img, "resize") else img
+                img = img.resize((n, n))
             proc = self.image_processor(images=[np.asarray(img)],
                                         return_tensors="np")
             patches_list.append(proc["pixel_values"])
@@ -154,17 +164,81 @@ class QwenVLBackend:
         text = self._render_chat(len(images), prompt, system)
         ids = self.tokenizer(text, add_special_tokens=False)["input_ids"]
         ids = self._expand_image_tokens(ids, tokens_per_image)
-        input_ids = np.asarray([ids], dtype=np.int64)
+        patches = (np.concatenate(patches_list, axis=0)
+                   if patches_list else None)
+        return ids, patches, grids
 
-        pixel_patches = (np.concatenate(patches_list, axis=0)
-                         if patches_list else None)
+    def _decode_row(self, row: np.ndarray) -> str:
+        tokens = row.tolist()
+        eos = self.generator.eos_token_id
+        if eos in tokens:
+            tokens = tokens[:tokens.index(eos)]
+        return self.tokenizer.decode(tokens, skip_special_tokens=True)
+
+    def generate(self, images: Sequence, prompt: str,
+                 system: Optional[str] = None, max_new_tokens: int = 1024,
+                 temperature: float = 0.0, top_p: float = 0.9) -> str:
+        """temperature<=0 is greedy; otherwise nucleus sampling with
+        ``top_p`` (the reference's do_sample/top_p semantics,
+        llms/qwen3_llm.py:103-113)."""
+        ids, pixel_patches, grids = self._prepare(images, prompt, system)
+        input_ids = np.asarray([ids], dtype=np.int64)
         out_ids = self.generator.generate(
             input_ids, pixel_patches=pixel_patches, grid_thw=tuple(grids),
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p if temperature > 0 else 1.0,
             prompt_bucket=self.prompt_bucket)
-        tokens = out_ids[0].tolist()
-        eos = self.generator.eos_token_id
-        if eos in tokens:
-            tokens = tokens[:tokens.index(eos)]
-        return self.tokenizer.decode(tokens, skip_special_tokens=True)
+        return self._decode_row(out_ids[0])
+
+    def generate_batch(self, requests: Sequence[dict],
+                       max_new_tokens: int = 1024,
+                       temperature: float = 0.0,
+                       top_p: float = 0.9) -> List[str]:
+        """Serve N heterogeneous requests in ONE prefill + decode.
+
+        ``requests``: dicts with ``images`` (PIL sequence), ``prompt``
+        and optional ``system``.  Rows may differ in prompt length and
+        image layout: prompts are right-padded to a shared bucket with
+        per-row ``true_lens``; every row's image patches/grids are
+        concatenated flat in row order (the model's image-table gather
+        is row-major, models/qwen3_vl.visual_gather_indices).
+
+        Decode is weight-bandwidth-bound — the per-step weight stream
+        is batch-invariant — so batching N audit cases costs ~1x decode
+        wall time instead of Nx (measured: docs/PERF_NOTES.md).  The
+        reference serves its audit loop strictly one case at a time
+        (vlm_audit_module.py:651-734).
+        """
+        if not requests:
+            return []
+        rows = [self._prepare(r["images"], r["prompt"], r.get("system"))
+                for r in requests]
+        from emr2a_tpu.models.qwen3_vl import compute_mrope_position_ids
+        merge = self.config.vision.spatial_merge_size
+        # Per-row position ids on the unpadded row (padding later is
+        # masked out, its position values are irrelevant).
+        pos_rows = [
+            compute_mrope_position_ids(
+                np.asarray([ids], dtype=np.int64), grids,
+                self.config.image_token_id, merge)
+            for ids, _, grids in rows]
+        true_lens = np.asarray([len(ids) for ids, _, _ in rows],
+                               dtype=np.int32)
+        seq = int(true_lens.max())
+        B = len(rows)
+        input_ids = np.zeros((B, seq), dtype=np.int64)  # 0 != image token
+        position_ids = np.zeros((3, B, seq), dtype=np.int64)
+        for b, (ids, _, _) in enumerate(rows):
+            input_ids[b, :len(ids)] = ids
+            position_ids[:, b, :len(ids)] = pos_rows[b][:, 0]
+        patch_arrays = [p for _, p, _ in rows if p is not None]
+        pixel_patches = (np.concatenate(patch_arrays, axis=0)
+                         if patch_arrays else None)
+        flat_grids = tuple(g for _, _, grids in rows for g in grids)
+        out_ids = self.generator.generate(
+            input_ids, pixel_patches=pixel_patches, grid_thw=flat_grids,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p if temperature > 0 else 1.0,
+            prompt_bucket=self.prompt_bucket, true_lens=true_lens,
+            position_ids=position_ids)
+        return [self._decode_row(out_ids[b]) for b in range(B)]

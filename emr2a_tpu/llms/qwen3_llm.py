@@ -44,6 +44,23 @@ class Qwen3LLM(BaseLLM):
             images or [], prompt,
             **self._gen_kwargs(max_new_tokens, temperature, top_p))
 
+    def generate_batch(self, prompts, images_list=None, max_new_tokens=512,
+                       temperature=0.2, top_p=0.9, **kwargs):
+        """One prefill+decode for the whole batch when the backend
+        supports it (qwen_backend.generate_batch — decode is weight-
+        bandwidth-bound, so N prompts cost ~1x decode wall time); the
+        reference loops singles (llms/qwen3_llm.py:60-81)."""
+        if hasattr(self.backend, "generate_batch") and prompts:
+            requests = [
+                {"images": images_list[i] if images_list else [],
+                 "prompt": p}
+                for i, p in enumerate(prompts)]
+            return self.backend.generate_batch(
+                requests, max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p)
+        return super().generate_batch(prompts, images_list, max_new_tokens,
+                                      temperature, top_p, **kwargs)
+
     @staticmethod
     def _text_of(content) -> str:
         if isinstance(content, str):

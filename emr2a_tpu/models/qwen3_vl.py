@@ -524,9 +524,7 @@ class QwenTextModel(nn.Module):
                 # add deepstack features at visual token positions:
                 # gather rows by cumsum index, mask off text positions.
                 ds = deepstack[i]  # (n_visual, D)
-                gather_idx = jnp.clip(
-                    jnp.cumsum(visual_mask.astype(jnp.int32), axis=-1) - 1,
-                    0, ds.shape[0] - 1)
+                gather_idx = visual_gather_indices(visual_mask, ds.shape[0])
                 add = ds[gather_idx]  # (B, S, D)
                 x = x + jnp.where(visual_mask[..., None],
                                   add.astype(x.dtype), 0)
@@ -559,6 +557,20 @@ class QwenTextModel(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def visual_gather_indices(mask: jnp.ndarray, table_len: int) -> jnp.ndarray:
+    """Gather indices into the flat batch image-token table.
+
+    ``mask`` (B, S) marks image-token positions.  The table concatenates
+    every row's image tokens in batch order, so row ``b``'s k-th image
+    token reads ``table[offset_b + k]`` where ``offset_b`` counts image
+    tokens in rows < b.  (B=1 reduces to the plain per-row cumsum.)
+    """
+    counts = mask.sum(axis=-1)
+    offsets = jnp.cumsum(counts) - counts  # (B,)
+    idx = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1 + offsets[:, None]
+    return jnp.clip(idx, 0, table_len - 1)
+
+
 class Qwen3VLModel(nn.Module):
     """Multimodal forward: ids + optional image patches -> logits."""
 
@@ -571,15 +583,17 @@ class Qwen3VLModel(nn.Module):
 
     def embed_multimodal(self, input_ids, pixel_patches, grid_thw):
         """Token embeddings with image embeddings spliced at
-        image-token positions; returns (embeds, visual_mask, deepstack)."""
+        image-token positions; returns (embeds, visual_mask, deepstack).
+
+        The flat image-token table concatenates every row's image
+        tokens in batch order (HF row-major semantics), so batched
+        rows may carry distinct images/grids."""
         embeds = self.language_model.embed_tokens(input_ids)
         if pixel_patches is None:
             return embeds, None, None
         image_embeds, deepstack, _ = self.visual(pixel_patches, grid_thw)
         mask = input_ids == self.config.image_token_id  # (B,S)
-        gather_idx = jnp.clip(
-            jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1,
-            0, image_embeds.shape[0] - 1)
+        gather_idx = visual_gather_indices(mask, image_embeds.shape[0])
         spliced = image_embeds[gather_idx].astype(embeds.dtype)
         embeds = jnp.where(mask[..., None], spliced, embeds)
         return embeds, mask, deepstack
@@ -601,14 +615,17 @@ def compute_mrope_position_ids(input_ids: np.ndarray,
                                merge_size: int = 2) -> np.ndarray:
     """Host-side M-RoPE position ids (3, B, S) — text tokens advance
     all three axes together; each image block gets t/h/w grid positions
-    (get_rope_index semantics, images only, no padding)."""
+    (get_rope_index semantics, images only, no padding).  ``grid_thw``
+    is consumed flat in batch-row-major order, matching the flat image
+    table of ``Qwen3VLModel.embed_multimodal`` — batched rows may carry
+    distinct image layouts."""
     B, S = input_ids.shape
     out = np.zeros((3, B, S), dtype=np.int64)
+    img_i = 0
     for b in range(B):
         ids = input_ids[b]
         pos_chunks = []
         st = 0
-        img_i = 0
         image_positions = np.where(ids == image_token_id)[0]
         # find contiguous image runs
         runs = []
@@ -675,24 +692,24 @@ class Qwen3VLGenerator:
             B = input_ids.shape[0]
             cache = self._empty_cache(B, max_len)
             # Prefill over the padded prompt: causal AND key < true_len
-            # (right padding never receives attention mass).
-            q_idx = jnp.arange(padded_len)[:, None]
-            k_idx = jnp.arange(max_len)[None, :]
-            mask = jnp.where((k_idx <= q_idx) & (k_idx < true_len),
-                             0.0, -jnp.inf)[None]
-            mask = jnp.broadcast_to(
-                mask, (B, padded_len, max_len)).astype(jnp.float32)
+            # (right padding never receives attention mass).  true_len
+            # is per-row (B,) so one batch may mix prompt lengths.
+            q_idx = jnp.arange(padded_len)[None, :, None]
+            k_idx = jnp.arange(max_len)[None, None, :]
+            mask = jnp.where(
+                (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
+                0.0, -jnp.inf).astype(jnp.float32)  # (B, padded, max)
             hidden, cache = self.model.apply(
                 {"params": params}, input_ids, position_ids,
                 pixel_patches=pixel_patches, grid_thw=grid_thw,
                 cache=cache, cache_pos=0, attn_mask=mask,
                 return_hidden=True)
-            # Project ONLY the last true prompt position to the vocab
-            # (full-prompt logits would materialize (B, S, vocab)).
-            last_hidden = jax.lax.dynamic_slice_in_dim(
-                hidden, true_len - 1, 1, axis=1)
+            # Project ONLY the last true prompt position of each row to
+            # the vocab (full-prompt logits would materialize
+            # (B, S, vocab)).
+            last_hidden = hidden[jnp.arange(B), true_len - 1]  # (B, D)
             last_logits = self.model.apply(
-                {"params": params}, last_hidden[:, 0],
+                {"params": params}, last_hidden,
                 method=lambda m, h: m.language_model.project(h))
             # per-row next position (rows may have different content)
             next_pos_base = position_ids.max(axis=(0, 2)) + 1  # (B,)
@@ -723,12 +740,11 @@ class Qwen3VLGenerator:
                 pos = jnp.broadcast_to(
                     (next_pos_base + step_i)[None, :, None], (3, B, 1))
                 k_idx = jnp.arange(max_len)[None, None, :]
-                # attend to the true prompt + generated tokens so far
+                # attend to each row's true prompt + generated tokens
                 mask = jnp.where(
-                    (k_idx < true_len)
+                    (k_idx < true_len[:, None, None])
                     | ((k_idx >= padded_len) & (k_idx <= padded_len + step_i)),
-                    0.0, -jnp.inf)
-                mask = jnp.broadcast_to(mask, (B, 1, max_len)).astype(jnp.float32)
+                    0.0, -jnp.inf).astype(jnp.float32)  # (B, 1, max)
                 logits, cache = self.model.apply(
                     {"params": params}, token[:, None], pos,
                     cache=cache, cache_pos=padded_len + step_i,
@@ -750,22 +766,33 @@ class Qwen3VLGenerator:
                  grid_thw: Tuple[Tuple[int, int, int], ...] = (),
                  max_new_tokens: Optional[int] = None,
                  temperature: float = 0.0, top_p: float = 1.0,
-                 seed: int = 0, prompt_bucket: int = 128) -> np.ndarray:
-        """input_ids (B, S) without padding; returns (B, new) token ids
-        (eos-padded after stop).  Prompts are right-padded to the next
+                 seed: int = 0, prompt_bucket: int = 128,
+                 true_lens: Optional[np.ndarray] = None,
+                 position_ids: Optional[np.ndarray] = None) -> np.ndarray:
+        """input_ids (B, S); returns (B, new) token ids (eos-padded
+        after stop).  Prompts are right-padded to the next
         ``prompt_bucket`` multiple so compilation cost is per bucket,
-        not per exact length.  With images and B > 1 all rows must
-        share the same image layout (the embedding splice indexes one
-        concatenated image table)."""
+        not per exact length.
+
+        Heterogeneous batches: pass ``true_lens`` (B,) per-row valid
+        lengths (rows right-padded to S with any non-image token) plus
+        the matching ``position_ids`` (3, B, S) computed on unpadded
+        rows; ``grid_thw`` then lists every row's grids flat in row
+        order and ``pixel_patches`` concatenates rows' patches the same
+        way.  Without ``true_lens`` all rows are taken as full-length
+        (the single-request path)."""
         max_new = max_new_tokens or self.max_new_tokens
         ids = np.asarray(input_ids)
-        true_len = ids.shape[1]
-        position_ids = compute_mrope_position_ids(
-            ids, grid_thw, self.config.image_token_id,
-            self.config.vision.spatial_merge_size)
-        padded_len = -(-true_len // prompt_bucket) * prompt_bucket
-        if padded_len > true_len:
-            pad = padded_len - true_len
+        seq_len = ids.shape[1]
+        if true_lens is None:
+            true_lens = np.full((ids.shape[0],), seq_len, dtype=np.int32)
+        if position_ids is None:
+            position_ids = compute_mrope_position_ids(
+                ids, grid_thw, self.config.image_token_id,
+                self.config.vision.spatial_merge_size)
+        padded_len = -(-seq_len // prompt_bucket) * prompt_bucket
+        if padded_len > seq_len:
+            pad = padded_len - seq_len
             ids = np.pad(ids, [(0, 0), (0, pad)])
             position_ids = np.pad(position_ids, [(0, 0), (0, 0), (0, pad)])
         key = (padded_len, tuple(grid_thw), max_new,
@@ -777,7 +804,8 @@ class Qwen3VLGenerator:
                    if pixel_patches is not None else None)
         tokens = self._jitted[key](
             self.params, jnp.asarray(ids), jnp.asarray(position_ids),
-            jnp.int32(true_len), patches, jax.random.PRNGKey(seed))
+            jnp.asarray(true_lens, dtype=jnp.int32), patches,
+            jax.random.PRNGKey(seed))
         return np.asarray(tokens)
 
 

@@ -80,7 +80,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            reject_threshold: float = 0.7,
                            abstain_threshold: float = 0.5,
                            conservative: bool = False,
-                           backend=None, precision: str = "bf16") -> Dict:
+                           backend=None, precision: str = "bf16",
+                           vlm_batch_size: int = 1) -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
 
@@ -167,7 +168,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
         query_patients=query_patients,
         top_neighbors_list=top_neighbors_list,
         manifest=manifest, output_dir=audit_output_dir,
-        base_dir=Path("."), prompt_template=prompt_template)
+        base_dir=Path("."), prompt_template=prompt_template,
+        vlm_batch_size=vlm_batch_size)
 
     ground_truth = [p.get("label") for p in query_patients]
     final_results = audit_module.compute_final_predictions(
@@ -269,6 +271,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "serving, ~1.5x decode throughput; int4 = "
                              "group-128 W4A8, fastest decode with a "
                              "real RTN accuracy cost")
+    parser.add_argument("--vlm_batch_size", type=int, default=1,
+                        help="audit cases served per prefill+decode; "
+                        "decode is weight-bandwidth-bound so N cases "
+                        "cost ~1x decode wall time (PERF_NOTES)")
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--accept_threshold", type=float, default=0.7)
@@ -292,7 +298,7 @@ def main(argv=None) -> None:
         exp_dir=Path(args.exp_dir), manifest_path=Path(args.manifest_path),
         output_dir=Path(args.output_dir), max_samples=args.max_samples,
         model_path=args.model_path, device=args.device, seed=args.seed,
-        precision=args.precision,
+        precision=args.precision, vlm_batch_size=args.vlm_batch_size,
         accept_threshold=args.accept_threshold,
         reject_threshold=args.reject_threshold,
         abstain_threshold=args.abstain_threshold,

@@ -194,6 +194,10 @@ def main():
     ap.add_argument("--hbm_probe", action="store_true",
                     help="binary-search ballast to bound peak HBM "
                          "(memory_stats is empty through the relay)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="audit cases served per prefill+decode "
+                         "(heterogeneous prompt lengths, per-row "
+                         "true_lens — the generate_batch serving path)")
     args = ap.parse_args()
     what = set(args.what.split(","))
     if args.geometry == "8b" and args.precision == "bf16":
@@ -209,6 +213,8 @@ def main():
                "precision": args.precision}
         if args.fuse:
             rec["fused_projs"] = True
+        if args.batch > 1:
+            rec["batch"] = args.batch
         records.append(rec)
         print(json.dumps(rec), flush=True)
         if args.json_out:  # flush per metric — a later crash (e.g. the
@@ -271,21 +277,31 @@ def main():
 
         gen = Qwen3VLGenerator(model, params, eos_token_id=-1)  # never stop
         rng = np.random.RandomState(0)
-        prompt = rng.randint(2, 150_000, (1, 980), np.int64)
+        B = args.batch
+        prompt = rng.randint(2, 150_000, (B, 980), np.int64)
+        # heterogeneous rows: the batched audit path pads shorter
+        # prompts to the shared bucket with per-row true_lens
+        true_lens = (None if B == 1 else
+                     np.asarray([980 - 64 * (b % 4) for b in range(B)],
+                                np.int32))
 
         times = {}
         for max_new in (32, 96):
             t0 = time.time()
-            gen.generate(prompt, max_new_tokens=max_new, prompt_bucket=1024)
+            gen.generate(prompt, max_new_tokens=max_new, prompt_bucket=1024,
+                         true_lens=true_lens)
             print(f"compile+run max_new={max_new}: {time.time()-t0:.1f}s",
                   flush=True)
             times[max_new] = measure(
                 lambda mn=max_new: gen.generate(prompt, max_new_tokens=mn,
-                                                prompt_bucket=1024))
+                                                prompt_bucket=1024,
+                                                true_lens=true_lens))
         per_tok = (times[96] - times[32]) / 64
         prefill = times[32] - 32 * per_tok
-        print(f"prefill @ bucket 1024 (980 real tokens): {prefill*1000:.1f} ms")
-        print(f"decode: {per_tok*1000:.2f} ms/token = {1/per_tok:.1f} tok/s")
+        print(f"prefill @ bucket 1024 (980 real tokens, B={B}): "
+              f"{prefill*1000:.1f} ms")
+        print(f"decode: {per_tok*1000:.2f} ms/step = {1/per_tok:.1f} steps/s"
+              f" = {B/per_tok:.1f} tok/s aggregate")
         # decode streams every linear/lm_head byte once per token; the
         # token-embedding table is a gather, not a stream, so it is
         # excluded from the bandwidth denominator
@@ -298,7 +314,7 @@ def main():
               f"(excl. {embed_bytes/2**30:.2f} GiB embed table; chip "
               "stream rate 853)")
         emit("judge_prefill_1024", prefill * 1000, "ms")
-        emit("judge_decode", 1 / per_tok, "tok/s")
+        emit("judge_decode", B / per_tok, "tok/s")  # aggregate over batch
         emit("judge_decode_weight_bw", bw, "GB/s")
         emit("judge_params_resident", n_bytes / 2**30, "GiB")
         stats = {}

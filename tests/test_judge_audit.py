@@ -186,3 +186,42 @@ def test_g2_review_with_fake_backend(cohort, tmp_path):
     assert out["final_predictions"] == ["PJP", "Bacterial", "Normal"]
     # montages written
     assert (tmp_path / "g2" / "evidence_0").exists()
+
+
+def test_audit_batch_batched_matches_sequential(cohort, tmp_path):
+    """vlm_batch_size>1 routes through the backend's generate_batch in
+    chunks and must produce the same audit results as the sequential
+    loop (same scripts, same order); failed parses still degrade
+    per-item."""
+    root, manifest_path, exp_dir, records = cohort
+    from emr2a_tpu.data.manifest import load_manifest
+    manifest = load_manifest(manifest_path)
+
+    script = [
+        '{"decision": "accept", "confidence": 0.9, "rationale": "ok"}',
+        '{"decision": "reject", "confidence": 0.8, "rationale": "no"}',
+        "%%%garbage%%%",
+        '{"decision": "accept", "confidence": 0.95, "rationale": "ok"}',
+        '{"decision": "abstain", "confidence": 0.4, "rationale": "eh"}',
+    ]
+    patients = manifest[:5]
+    neighbors = [[("p05", "PJP", 0.9), ("p06", "Viral", 0.8)]] * 5
+    kwargs = dict(
+        retrieval_predictions=["PJP", "Viral", "Normal", "PJP", "Viral"],
+        retrieval_similarities=[[0.9, 0.8]] * 5,
+        retrieval_labels=[["PJP", "Viral"]] * 5,
+        query_patients=patients, top_neighbors_list=neighbors,
+        manifest=manifest)
+
+    seq_backend = FakeVLMBackend(script=script)
+    seq = VLMAuditModule(backend=seq_backend).audit_batch(
+        output_dir=tmp_path / "a", **kwargs)
+
+    bat_backend = FakeVLMBackend(script=script)
+    bat = VLMAuditModule(backend=bat_backend).audit_batch(
+        output_dir=tmp_path / "b", vlm_batch_size=2, **kwargs)
+
+    assert bat["audit_results"] == seq["audit_results"]
+    assert bat_backend.batch_calls == [2, 2, 1]  # 5 cases in chunks of 2
+    assert [r["final_decision"] for r in bat["audit_results"]] == \
+        ["accept", "reject", "abstain", "accept", "abstain"]

@@ -129,3 +129,37 @@ def test_qwen_backend_generates_hf_parity(tiny, rng):
     expected_tokens = hf_out[0, len(ids):].numpy().tolist()
     assert len(expected_tokens) == 5
     assert out == tok.decode(expected_tokens)
+
+
+def test_generate_batch_matches_sequential(tiny, rng):
+    """Heterogeneous batched generation (different prompt lengths AND
+    different image grids per row, one prefill+decode) must reproduce
+    the single-request path token-for-token: per-row true_lens mask the
+    padding, the flat image table gathers row-major
+    (models/qwen3_vl.visual_gather_indices)."""
+    model, cfg, params = tiny
+    mycfg = my_config(cfg)
+
+    class NoEosTokenizer(ToyTokenizer):
+        eos_token_id = -1  # never generated
+
+    tok = NoEosTokenizer()
+    backend = QwenVLBackend(
+        model_path=None, config=mycfg, params=params, tokenizer=tok,
+        image_processor=make_image_processor(mycfg.vision, min_pixels=16,
+                                             max_pixels=16384))
+    from PIL import Image
+    img_a = Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8))
+    img_b = Image.fromarray((rng.rand(24, 24, 3) * 255).astype(np.uint8))
+    requests = [
+        {"images": [img_a], "prompt": "describe this scan"},
+        {"images": [img_b],
+         "prompt": "is this chest CT consistent with the label PJP"},
+        {"images": [], "prompt": "text only row"},
+    ]
+    sequential = [backend.generate(r["images"], r["prompt"],
+                                   max_new_tokens=5, temperature=0.0)
+                  for r in requests]
+    batched = backend.generate_batch(requests, max_new_tokens=5,
+                                     temperature=0.0)
+    assert batched == sequential
