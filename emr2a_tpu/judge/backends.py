@@ -63,7 +63,8 @@ class FakeVLMBackend:
 
 
 def load_backend(model_path: Optional[str], device: str = "tpu",
-                 precision: str = "bf16") -> Optional[VLMBackend]:
+                 precision: str = "bf16",
+                 kv_dtype: str = "bf16") -> Optional[VLMBackend]:
     """Resolve a generation backend from a model path.
 
     - ``fake:`` prefix (or ``fake``) → FakeVLMBackend
@@ -81,7 +82,8 @@ def load_backend(model_path: Optional[str], device: str = "tpu",
         return FakeVLMBackend()
     try:
         from emr2a_tpu.judge.qwen_backend import QwenVLBackend
-        return QwenVLBackend(mp, device=device, precision=precision)
+        return QwenVLBackend(mp, device=device, precision=precision,
+                             kv_dtype=kv_dtype)
     except Exception as e:
         logger.error("Failed to load VLM backend from %s: %s", model_path, e)
         return None

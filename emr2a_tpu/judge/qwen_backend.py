@@ -35,7 +35,8 @@ class QwenVLBackend:
                  config=None, params=None, tokenizer=None,
                  image_processor=None, prompt_bucket: int = 128,
                  cache_params: bool = True, precision: str = "bf16",
-                 standardize_images: Optional[int] = None):
+                 standardize_images: Optional[int] = None,
+                 kv_dtype: str = "bf16"):
         """``precision="int8"`` quantizes the decoder projections W8A8
         (models/quantize.quantize_qwen_text_params) — decode is weight-
         bandwidth-bound, int8 nearly halves the stream; tiny-model
@@ -48,7 +49,11 @@ class QwenVLBackend:
         ``standardize_images=N`` resizes every input image to NxN before
         patchify, pinning the vision grid: each distinct grid layout is
         a separate XLA compile, so mixed-resolution corpora (or batched
-        serving over them) otherwise recompile per layout."""
+        serving over them) otherwise recompile per layout.
+
+        ``kv_dtype="int8"`` stores the KV cache s8 with per-(position,
+        head) scales folded into the attention math — halves KV
+        residency/stream, doubling batched-serving KV headroom."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         self.standardize_images = standardize_images
@@ -99,7 +104,8 @@ class QwenVLBackend:
         self.model = Qwen3VLModel(config)
         eos = getattr(tokenizer, "eos_token_id", None) or 151645
         self.generator = Qwen3VLGenerator(self.model, params,
-                                          eos_token_id=int(eos))
+                                          eos_token_id=int(eos),
+                                          kv_dtype=kv_dtype)
 
     # -- prompt assembly --
 

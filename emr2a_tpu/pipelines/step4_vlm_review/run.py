@@ -81,6 +81,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            abstain_threshold: float = 0.5,
                            conservative: bool = False,
                            backend=None, precision: str = "bf16",
+                           kv_dtype: str = "bf16",
                            vlm_batch_size: int = 1) -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
@@ -153,6 +154,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
 
     audit_module = VLMAuditModule(
         model_path=model_path, device=device, precision=precision,
+        kv_dtype=kv_dtype,
         accept_threshold=accept_threshold, reject_threshold=reject_threshold,
         abstain_threshold=abstain_threshold, backend=backend)
 
@@ -271,6 +273,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "serving, ~1.5x decode throughput; int4 = "
                              "group-128 W4A8, fastest decode with a "
                              "real RTN accuracy cost")
+    parser.add_argument("--kv_cache", default="bf16",
+                        choices=["bf16", "int8"],
+                        help="judge KV-cache precision; int8 halves KV "
+                             "residency/stream (scales folded into the "
+                             "attention math), doubling batched-serving "
+                             "KV headroom")
     parser.add_argument("--vlm_batch_size", type=int, default=1,
                         help="audit cases served per prefill+decode; "
                         "decode is weight-bandwidth-bound so N cases "
@@ -298,7 +306,8 @@ def main(argv=None) -> None:
         exp_dir=Path(args.exp_dir), manifest_path=Path(args.manifest_path),
         output_dir=Path(args.output_dir), max_samples=args.max_samples,
         model_path=args.model_path, device=args.device, seed=args.seed,
-        precision=args.precision, vlm_batch_size=args.vlm_batch_size,
+        precision=args.precision, kv_dtype=args.kv_cache,
+        vlm_batch_size=args.vlm_batch_size,
         accept_threshold=args.accept_threshold,
         reject_threshold=args.reject_threshold,
         abstain_threshold=args.abstain_threshold,

@@ -194,6 +194,10 @@ def main():
     ap.add_argument("--hbm_probe", action="store_true",
                     help="binary-search ballast to bound peak HBM "
                          "(memory_stats is empty through the relay)")
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
+                    help="KV-cache precision (int8 halves KV "
+                         "residency/stream; scales folded into the "
+                         "attention math)")
     ap.add_argument("--batch", type=int, default=1,
                     help="audit cases served per prefill+decode "
                          "(heterogeneous prompt lengths, per-row "
@@ -215,6 +219,8 @@ def main():
             rec["fused_projs"] = True
         if args.batch > 1:
             rec["batch"] = args.batch
+        if args.kv != "bf16":
+            rec["kv"] = args.kv
         records.append(rec)
         print(json.dumps(rec), flush=True)
         if args.json_out:  # flush per metric — a later crash (e.g. the
@@ -275,7 +281,8 @@ def main():
         print(f"params: {n_params/1e9:.2f}B ({n_bytes/2**30:.2f} GiB "
               "on device)", flush=True)
 
-        gen = Qwen3VLGenerator(model, params, eos_token_id=-1)  # never stop
+        gen = Qwen3VLGenerator(model, params, eos_token_id=-1,  # never stop
+                               kv_dtype=args.kv)
         rng = np.random.RandomState(0)
         B = args.batch
         prompt = rng.randint(2, 150_000, (B, 980), np.int64)

@@ -206,3 +206,33 @@ def test_generation_bucketing_invariant(hf, rng):
         hf_out = model.generate(input_ids=torch.tensor(input_ids),
                                 max_new_tokens=5, do_sample=False)
     np.testing.assert_array_equal(a[0], hf_out[0, input_ids.shape[1]:].numpy())
+
+
+def test_int8_kv_cache_token_agreement(hf, rng):
+    """kv_dtype="int8" (s8 KV cache + scales folded into the attention
+    math) must reproduce the bf16-cache greedy tokens — single row,
+    a 2-row batch, and the multimodal path."""
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+    gen_bf = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1)
+    gen_q = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1,
+                             kv_dtype="int8")
+
+    ids = np.array([[3, 5, 8, 13, 21, 34, 55, 89, 144, 6, 7],
+                    [7, 2, 9, 31, 4, 16, 25, 36, 49, 64, 81]],
+                   dtype=np.int64)
+    a = gen_bf.generate(ids, max_new_tokens=8, prompt_bucket=16)
+    b = gen_q.generate(ids, max_new_tokens=8, prompt_bucket=16)
+    np.testing.assert_array_equal(a, b)
+
+    # multimodal single row (prefill writes image-position KV rows too)
+    pixels, grid = make_pixels(rng)
+    mm_ids = build_multimodal_ids(cfg, grid, [5, 6, 7])
+    gtup = tuple(tuple(int(x) for x in g) for g in grid)
+    a = gen_bf.generate(mm_ids, pixel_patches=pixels, grid_thw=gtup,
+                        max_new_tokens=6)
+    b = gen_q.generate(mm_ids, pixel_patches=pixels, grid_thw=gtup,
+                       max_new_tokens=6)
+    np.testing.assert_array_equal(a, b)
