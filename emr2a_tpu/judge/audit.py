@@ -133,7 +133,8 @@ class VLMAuditModule:
                  reject_threshold: float = 0.7,
                  abstain_threshold: float = 0.5,
                  backend: Optional[VLMBackend] = None,
-                 precision: str = "bf16", kv_dtype: str = "bf16"):
+                 precision: str = "bf16", kv_dtype: str = "bf16",
+                 draft_model_path: Optional[str] = None):
         self.model_path = model_path
         self.device = device
         self.max_retries = max_retries
@@ -142,7 +143,8 @@ class VLMAuditModule:
         self.abstain_threshold = abstain_threshold
         self.backend = backend if backend is not None \
             else load_backend(model_path, device, precision=precision,
-                              kv_dtype=kv_dtype)
+                              kv_dtype=kv_dtype,
+                              draft_model_path=draft_model_path)
 
     # -- evidence --
 

@@ -64,7 +64,9 @@ class FakeVLMBackend:
 
 def load_backend(model_path: Optional[str], device: str = "tpu",
                  precision: str = "bf16",
-                 kv_dtype: str = "bf16") -> Optional[VLMBackend]:
+                 kv_dtype: str = "bf16",
+                 draft_model_path: Optional[str] = None,
+                 spec_k: int = 4) -> Optional[VLMBackend]:
     """Resolve a generation backend from a model path.
 
     - ``fake:`` prefix (or ``fake``) → FakeVLMBackend
@@ -83,7 +85,9 @@ def load_backend(model_path: Optional[str], device: str = "tpu",
     try:
         from emr2a_tpu.judge.qwen_backend import QwenVLBackend
         return QwenVLBackend(mp, device=device, precision=precision,
-                             kv_dtype=kv_dtype)
+                             kv_dtype=kv_dtype,
+                             draft_model_path=draft_model_path,
+                             spec_k=spec_k)
     except Exception as e:
         logger.error("Failed to load VLM backend from %s: %s", model_path, e)
         return None

@@ -29,6 +29,44 @@ from emr2a_tpu.models.qwen3_vl import (
 logger = logging.getLogger(__name__)
 
 
+def _load_qwen3_vl(model_path, config=None, params=None,
+                   cache_params: bool = True):
+    """Load (config, params) for a Qwen3-VL checkpoint directory, going
+    through the Orbax converted-params cache (models/checkpoint.py:
+    the 8B judge's torch.load + convert costs minutes, restore does
+    not)."""
+    if params is None:
+        mp = Path(model_path)
+        with (mp / "config.json").open() as f:
+            hf_cfg = json.load(f)
+        config = qwen3_vl_config_from_hf(hf_cfg)
+        from emr2a_tpu.models.checkpoint import (
+            load_or_convert, load_state_dict)
+
+        def convert_qwen3_vl(sd):
+            return convert_hf_qwen3_vl(
+                sd, config.vision.depth, config.text.num_layers)
+
+        if cache_params:
+            params = load_or_convert(mp, convert_qwen3_vl)
+        else:
+            params = convert_qwen3_vl(load_state_dict(mp))
+    return config, params
+
+
+def _quantize_decoder(params, precision: str):
+    """W8A8 / W4A8-quantize the language-model projections in place."""
+    if precision in ("int8", "int4"):
+        from emr2a_tpu.models.quantize import quantize_qwen_text_params
+        return {**params, "language_model":
+                quantize_qwen_text_params(params["language_model"],
+                                          precision=precision)}
+    if precision != "bf16":
+        raise ValueError(
+            f"precision must be bf16|int8|int4, got {precision!r}")
+    return params
+
+
 class QwenVLBackend:
 
     def __init__(self, model_path: str, device: str = "tpu",
@@ -36,7 +74,9 @@ class QwenVLBackend:
                  image_processor=None, prompt_bucket: int = 128,
                  cache_params: bool = True, precision: str = "bf16",
                  standardize_images: Optional[int] = None,
-                 kv_dtype: str = "bf16"):
+                 kv_dtype: str = "bf16",
+                 draft_model_path: Optional[str] = None,
+                 draft_config=None, draft_params=None, spec_k: int = 4):
         """``precision="int8"`` quantizes the decoder projections W8A8
         (models/quantize.quantize_qwen_text_params) — decode is weight-
         bandwidth-bound, int8 nearly halves the stream; tiny-model
@@ -53,28 +93,22 @@ class QwenVLBackend:
 
         ``kv_dtype="int8"`` stores the KV cache s8 with per-(position,
         head) scales folded into the attention math — halves KV
-        residency/stream, doubling batched-serving KV headroom."""
+        residency/stream, doubling batched-serving KV headroom.
+
+        ``draft_model_path`` (or ``draft_config/draft_params`` directly)
+        enables greedy speculative decoding (models/speculative.py): a
+        small same-vocabulary draft (the 2B judge drafting for the
+        flagship 8B, /root/reference/encoders/
+        qwen3_vl_8b_thinking_encoder.py:30-43) proposes ``spec_k``
+        tokens per cycle and the target verifies them in one forward.
+        Lossless — the emitted stream is exactly the target's greedy
+        decode.  Used for single-request greedy generate(); sampling
+        and generate_batch fall back to the plain generator."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         self.standardize_images = standardize_images
-        if params is None:
-            mp = Path(model_path)
-            with (mp / "config.json").open() as f:
-                hf_cfg = json.load(f)
-            config = qwen3_vl_config_from_hf(hf_cfg)
-            from emr2a_tpu.models.checkpoint import (
-                load_or_convert, load_state_dict)
-            # converted-params cache beside the checkpoint: the 8B
-            # judge's torch.load + convert costs minutes, Orbax restore
-            # does not (models/checkpoint.py load_or_convert)
-            def convert_qwen3_vl(sd):
-                return convert_hf_qwen3_vl(
-                    sd, config.vision.depth, config.text.num_layers)
-
-            if cache_params:
-                params = load_or_convert(mp, convert_qwen3_vl)
-            else:
-                params = convert_qwen3_vl(load_state_dict(mp))
+        config, params = _load_qwen3_vl(model_path, config, params,
+                                        cache_params)
         if tokenizer is None and model_path is not None:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(str(model_path))
@@ -90,14 +124,7 @@ class QwenVLBackend:
         if image_processor is None:
             from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
             image_processor = make_image_processor(config.vision)
-        if precision in ("int8", "int4"):
-            from emr2a_tpu.models.quantize import quantize_qwen_text_params
-            params = {**params, "language_model":
-                      quantize_qwen_text_params(params["language_model"],
-                                                precision=precision)}
-        elif precision != "bf16":
-            raise ValueError(
-                f"precision must be bf16|int8|int4, got {precision!r}")
+        params = _quantize_decoder(params, precision)
         self.config = config
         self.tokenizer = tokenizer
         self.image_processor = image_processor
@@ -106,6 +133,16 @@ class QwenVLBackend:
         self.generator = Qwen3VLGenerator(self.model, params,
                                           eos_token_id=int(eos),
                                           kv_dtype=kv_dtype)
+        self.spec_generator = None
+        if draft_model_path is not None or draft_params is not None:
+            from emr2a_tpu.models.speculative import SpeculativeGenerator
+            draft_config, draft_params = _load_qwen3_vl(
+                draft_model_path, draft_config, draft_params, cache_params)
+            draft_params = _quantize_decoder(draft_params, precision)
+            self.spec_generator = SpeculativeGenerator(
+                self.model, params, Qwen3VLModel(draft_config),
+                draft_params, spec_k=spec_k, eos_token_id=int(eos),
+                kv_dtype=kv_dtype)
 
     # -- prompt assembly --
 
@@ -189,6 +226,14 @@ class QwenVLBackend:
         llms/qwen3_llm.py:103-113)."""
         ids, pixel_patches, grids = self._prepare(images, prompt, system)
         input_ids = np.asarray([ids], dtype=np.int64)
+        if self.spec_generator is not None and temperature <= 0:
+            # lossless: same tokens as the plain greedy path, fewer
+            # target weight streams per emitted token
+            out_ids = self.spec_generator.generate(
+                input_ids, pixel_patches=pixel_patches,
+                grid_thw=tuple(grids), max_new_tokens=max_new_tokens,
+                prompt_bucket=self.prompt_bucket)
+            return self._decode_row(out_ids[0])
         out_ids = self.generator.generate(
             input_ids, pixel_patches=pixel_patches, grid_thw=tuple(grids),
             max_new_tokens=max_new_tokens, temperature=temperature,

@@ -17,7 +17,7 @@ import logging
 import random
 from collections import Counter
 from pathlib import Path
-from typing import Dict
+from typing import Dict, Optional
 
 from emr2a_tpu.data.manifest import load_manifest
 from emr2a_tpu.eval.audit_metrics import compute_audit_metrics
@@ -82,6 +82,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            conservative: bool = False,
                            backend=None, precision: str = "bf16",
                            kv_dtype: str = "bf16",
+                           draft_model_path: Optional[str] = None,
                            vlm_batch_size: int = 1) -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
@@ -154,7 +155,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
 
     audit_module = VLMAuditModule(
         model_path=model_path, device=device, precision=precision,
-        kv_dtype=kv_dtype,
+        kv_dtype=kv_dtype, draft_model_path=draft_model_path,
         accept_threshold=accept_threshold, reject_threshold=reject_threshold,
         abstain_threshold=abstain_threshold, backend=backend)
 
@@ -279,6 +280,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "residency/stream (scales folded into the "
                              "attention math), doubling batched-serving "
                              "KV headroom")
+    parser.add_argument("--draft_model", default=None,
+                        help="path to a small same-vocabulary draft "
+                             "checkpoint (e.g. the 2B judge) enabling "
+                             "lossless greedy speculative decoding of "
+                             "single-case audits; ignored when "
+                             "--vlm_batch_size > 1 (batched serving "
+                             "already amortizes the weight stream)")
     parser.add_argument("--vlm_batch_size", type=int, default=1,
                         help="audit cases served per prefill+decode; "
                         "decode is weight-bandwidth-bound so N cases "
@@ -307,6 +315,7 @@ def main(argv=None) -> None:
         output_dir=Path(args.output_dir), max_samples=args.max_samples,
         model_path=args.model_path, device=args.device, seed=args.seed,
         precision=args.precision, kv_dtype=args.kv_cache,
+        draft_model_path=args.draft_model,
         vlm_batch_size=args.vlm_batch_size,
         accept_threshold=args.accept_threshold,
         reject_threshold=args.reject_threshold,

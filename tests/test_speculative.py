@@ -133,6 +133,52 @@ def test_speculative_multimodal():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_speculative_backend_matches_plain(rng):
+    """QwenVLBackend(draft_params=...) serves greedy single requests
+    through the speculative path and its emitted text must equal the
+    plain backend's (lossless acceptance), through the real prompt
+    assembly + image processing + tokenizer decode stack."""
+    pytest.importorskip("torch")
+    import jax
+    from tests.test_qwen3_vl_parity import tiny_hf_model
+    from tests.test_qwen_encoder_backend import ToyTokenizer
+    from emr2a_tpu.models.qwen3_vl import (convert_hf_qwen3_vl,
+                                           qwen3_vl_config_from_hf)
+    from emr2a_tpu.judge.qwen_backend import QwenVLBackend
+    from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
+
+    model, cfg = tiny_hf_model()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    mycfg = qwen3_vl_config_from_hf(cfg.to_dict())
+    params = convert_hf_qwen3_vl(sd, 3, 2)
+    # independent random draft with the same architecture/vocab
+    dmodel = Qwen3VLModel(mycfg)
+    n_img = 4
+    ids = jnp.concatenate([
+        jnp.zeros((1, 2), jnp.int32),
+        jnp.full((1, n_img), mycfg.image_token_id, jnp.int32),
+        jnp.zeros((1, 2), jnp.int32)], axis=1)
+    pos = jnp.zeros((3, 1, ids.shape[1]), jnp.int32)
+    patches = jnp.zeros((16, 4 * 4 * 3 * 2), jnp.float32)
+    dparams = dmodel.init(jax.random.PRNGKey(11), ids, pos,
+                          pixel_patches=patches,
+                          grid_thw=((1, 4, 4),))["params"]
+
+    proc = make_image_processor(mycfg.vision, min_pixels=16,
+                                max_pixels=16384)
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    plain = QwenVLBackend(None, config=mycfg, params=params,
+                          tokenizer=ToyTokenizer(), image_processor=proc)
+    spec = QwenVLBackend(None, config=mycfg, params=params,
+                         tokenizer=ToyTokenizer(), image_processor=proc,
+                         draft_config=mycfg, draft_params=dparams,
+                         spec_k=2)
+    assert spec.spec_generator is not None
+    a = plain.generate([img], "describe", max_new_tokens=8)
+    b = spec.generate([img], "describe", max_new_tokens=8)
+    assert a == b, (a, b)
+
+
 def test_speculative_rejects_batch():
     cfg = tiny_config()
     tmodel, tparams = init_params(cfg, 0)
