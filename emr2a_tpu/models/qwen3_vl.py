@@ -387,6 +387,26 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, s
 
 
+def cache_write(buf: jnp.ndarray, fresh: jnp.ndarray, cache_pos):
+    """Write ``fresh`` (B, S, ...) into ``buf`` (B, L, ...) at position
+    offset ``cache_pos`` — a traced scalar (all rows share the offset:
+    the plain prefill/decode path, lowered as dynamic_update_slice) or
+    a traced (B,) vector (per-row offsets: continuous-batching slots
+    each at their own generation depth, lowered as a scatter; rows
+    whose window would run past L are dropped by XLA's out-of-bounds
+    scatter semantics, never wrapped)."""
+    pos = jnp.asarray(cache_pos)
+    if pos.ndim == 1:
+        B, S = fresh.shape[0], fresh.shape[1]
+        rows = jnp.arange(B)[:, None]
+        cols = pos[:, None] + jnp.arange(S)[None, :]
+        return buf.at[rows, cols].set(fresh.astype(buf.dtype),
+                                      mode="drop")
+    start = (0, cache_pos) + (0,) * (buf.ndim - 2)
+    return jax.lax.dynamic_update_slice(buf, fresh.astype(buf.dtype),
+                                        start)
+
+
 class QwenTextDecoderLayer(nn.Module):
     config: QwenTextConfig
 
@@ -459,19 +479,17 @@ class QwenTextDecoderLayer(nn.Module):
             ck, cks, cv, cvs = cache_kv
             k_q, k_s = quantize_kv(k)
             v_q, v_s = quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(ck, k_q, (0, cache_pos, 0, 0))
-            cks = jax.lax.dynamic_update_slice(cks, k_s, (0, cache_pos, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v_q, (0, cache_pos, 0, 0))
-            cvs = jax.lax.dynamic_update_slice(cvs, v_s, (0, cache_pos, 0))
+            ck = cache_write(ck, k_q, cache_pos)
+            cks = cache_write(cks, k_s, cache_pos)
+            cv = cache_write(cv, v_q, cache_pos)
+            cvs = cache_write(cvs, v_s, cache_pos)
             k_all, v_all = ck, cv
             k_scale, v_scale = cks, cvs
             new_cache = (ck, cks, cv, cvs)
         elif cache_kv is not None:
             ck, cv = cache_kv
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache_pos, 0, 0))
+            ck = cache_write(ck, k, cache_pos)
+            cv = cache_write(cv, v, cache_pos)
             k_all, v_all = ck, cv
             new_cache = (ck, cv)
         else:
