@@ -276,13 +276,20 @@ class VLMAuditModule:
                     manifest: List[Dict], output_dir: Path,
                     base_dir: Optional[Path] = None,
                     prompt_template: Optional[str] = None,
-                    vlm_batch_size: int = 1) -> Dict:
+                    vlm_batch_size: int = 1,
+                    serving: str = "static") -> Dict:
         """``vlm_batch_size > 1`` serves that many audit cases per
         prefill+decode through the backend's ``generate_batch`` (decode
         is weight-bandwidth-bound, so N cases cost ~1x decode wall time
         — docs/PERF_NOTES.md).  Default 1 keeps the reference's
         one-case-at-a-time loop (vlm_audit_module.py:651-734); failed
-        items still degrade individually to abstain."""
+        items still degrade individually to abstain.
+
+        ``serving="continuous"`` (with vlm_batch_size as the slot
+        count) streams ALL cases through the backend's slot server
+        (``generate_stream``) instead of fixed chunks: finished cases
+        free their slot for the next queued case mid-decode, so mixed
+        output lengths don't decode at the pace of the slowest row."""
         logger.info("Starting VLM audit on %d samples", len(query_patients))
         samples = list(zip(query_patients, top_neighbors_list,
                            retrieval_predictions))
@@ -303,6 +310,27 @@ class VLMAuditModule:
                     requests.append(None)
             vlm_results = [None] * len(samples)
             live = [i for i, r in enumerate(requests) if r is not None]
+            streaming = (serving == "continuous"
+                         and hasattr(self.backend, "generate_stream"))
+            if streaming:
+                logger.info("Streaming %d audit cases through %d slots",
+                            len(live), vlm_batch_size)
+                try:
+                    outputs = self.backend.generate_stream(
+                        [requests[i] for i in live], max_new_tokens=1024,
+                        n_slots=vlm_batch_size)
+                    for i, output_text in zip(live, outputs):
+                        if output_text is None:
+                            continue
+                        result = parse_audit_output(output_text)
+                        if result and requests[i]["cited_neighbors"]:
+                            result["cited_neighbors"] = \
+                                requests[i]["cited_neighbors"]
+                        vlm_results[i] = result
+                    live = []
+                except Exception as e:
+                    logger.error("Continuous serving failed, falling back "
+                                 "to static batches: %s", e)
             for chunk_start in range(0, len(live), vlm_batch_size):
                 chunk = live[chunk_start:chunk_start + vlm_batch_size]
                 logger.info("Auditing batch of %d (samples %s)", len(chunk),

@@ -293,3 +293,37 @@ class QwenVLBackend:
             prompt_bucket=self.prompt_bucket, true_lens=true_lens,
             position_ids=position_ids)
         return [self._decode_row(out_ids[b]) for b in range(B)]
+
+    def generate_stream(self, requests: Sequence[dict],
+                        max_new_tokens: int = 1024,
+                        n_slots: int = 8) -> List[str]:
+        """Serve N heterogeneous requests through continuous batching
+        (models/serving.ContinuousBatcher): ``n_slots`` requests decode
+        together and any slot whose request finishes is refilled from
+        the queue between chunks — unlike ``generate_batch``, a batch
+        of mixed output lengths is never held hostage by its slowest
+        row.  Greedy only (the batcher's parity contract); request
+        dicts match generate_batch's (``images``/``prompt``/optional
+        ``system``)."""
+        if not requests:
+            return []
+        from emr2a_tpu.models.serving import ContinuousBatcher
+        rows = [self._prepare(r["images"], r["prompt"], r.get("system"))
+                for r in requests]
+        max_len = max(len(ids) for ids, _, _ in rows)
+        bucket = -(-max_len // self.prompt_bucket) * self.prompt_bucket
+        key = (bucket, int(n_slots), int(max_new_tokens))
+        if not hasattr(self, "_batchers"):
+            self._batchers = {}
+        if key not in self._batchers:
+            self._batchers[key] = ContinuousBatcher(
+                self.generator.model, self.generator.params,
+                n_slots=n_slots, prompt_bucket=bucket,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=self.generator.eos_token_id,
+                kv_dtype=self.generator.kv_dtype)
+        reqs = [{"input_ids": np.asarray([ids], dtype=np.int64),
+                 "pixel_patches": patches, "grid_thw": tuple(grids)}
+                for ids, patches, grids in rows]
+        out = self._batchers[key].serve(reqs, max_new_tokens=max_new_tokens)
+        return [self._decode_row(row) for row in out]

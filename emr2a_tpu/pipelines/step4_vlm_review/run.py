@@ -83,7 +83,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            backend=None, precision: str = "bf16",
                            kv_dtype: str = "bf16",
                            draft_model_path: Optional[str] = None,
-                           vlm_batch_size: int = 1) -> Dict:
+                           vlm_batch_size: int = 1,
+                           serving: str = "static") -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
 
@@ -172,7 +173,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
         top_neighbors_list=top_neighbors_list,
         manifest=manifest, output_dir=audit_output_dir,
         base_dir=Path("."), prompt_template=prompt_template,
-        vlm_batch_size=vlm_batch_size)
+        vlm_batch_size=vlm_batch_size, serving=serving)
 
     ground_truth = [p.get("label") for p in query_patients]
     final_results = audit_module.compute_final_predictions(
@@ -287,6 +288,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "single-case audits; ignored when "
                              "--vlm_batch_size > 1 (batched serving "
                              "already amortizes the weight stream)")
+    parser.add_argument("--serving", default="static",
+                        choices=["static", "continuous"],
+                        help="batched audit scheduling: 'static' = fixed "
+                             "chunks of --vlm_batch_size through "
+                             "generate_batch; 'continuous' = slot server "
+                             "(--vlm_batch_size slots) that refills "
+                             "finished slots mid-run, so mixed output "
+                             "lengths don't wait on the slowest case")
     parser.add_argument("--vlm_batch_size", type=int, default=1,
                         help="audit cases served per prefill+decode; "
                         "decode is weight-bandwidth-bound so N cases "
@@ -316,7 +325,7 @@ def main(argv=None) -> None:
         model_path=args.model_path, device=args.device, seed=args.seed,
         precision=args.precision, kv_dtype=args.kv_cache,
         draft_model_path=args.draft_model,
-        vlm_batch_size=args.vlm_batch_size,
+        vlm_batch_size=args.vlm_batch_size, serving=args.serving,
         accept_threshold=args.accept_threshold,
         reject_threshold=args.reject_threshold,
         abstain_threshold=args.abstain_threshold,

@@ -117,6 +117,35 @@ def test_continuous_multimodal_mixed_with_text():
         np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
 
 
+def test_backend_generate_stream_matches_batch(rng):
+    """QwenVLBackend.generate_stream (continuous slots) must emit the
+    same greedy text per request as generate_batch (static batch) —
+    scheduling changes, math doesn't."""
+    pytest.importorskip("torch")
+    from tests.test_qwen3_vl_parity import tiny_hf_model
+    from tests.test_qwen_encoder_backend import ToyTokenizer
+    from emr2a_tpu.models.qwen3_vl import (convert_hf_qwen3_vl,
+                                           qwen3_vl_config_from_hf)
+    from emr2a_tpu.judge.qwen_backend import QwenVLBackend
+    from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
+
+    model, cfg = tiny_hf_model()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    mycfg = qwen3_vl_config_from_hf(cfg.to_dict())
+    params = convert_hf_qwen3_vl(sd, 3, 2)
+    proc = make_image_processor(mycfg.vision, min_pixels=16,
+                                max_pixels=16384)
+    be = QwenVLBackend(None, config=mycfg, params=params,
+                       tokenizer=ToyTokenizer(), image_processor=proc,
+                       prompt_bucket=32)
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    requests = [{"images": [img], "prompt": p}
+                for p in ("describe", "what is this", "findings please")]
+    batch = be.generate_batch(requests, max_new_tokens=8)
+    stream = be.generate_stream(requests, max_new_tokens=8, n_slots=2)
+    assert stream == batch, (stream, batch)
+
+
 def test_continuous_rejects_overlong_prompt():
     cfg = tiny_config()
     model, params = init_params(cfg, 0)
