@@ -1,0 +1,147 @@
+"""Continuous vs static batched audit serving at 8B geometry, real chip.
+
+The static batched path (``Qwen3VLGenerator.generate`` with B rows,
+scripts/exp_qwen_generate.py ``--batch``) runs a fixed-length
+``lax.scan``: every batch decodes ``max_new`` steps even when all its
+rows finished long before — and a mixed batch always pays for its
+slowest row.  The ContinuousBatcher (models/serving.py) decodes in
+chunks and refills finished slots from the queue, so total decode work
+tracks the *sum of real output lengths*, not slots x max_new.
+
+Output lengths are simulated with per-request token budgets (random
+weights never emit a controlled eos; scheduling cost is
+content-agnostic), drawn to mimic audit responses: most cases answer
+in 64-320 tokens, a tail thinks for longer (the reference's audit
+answers are a one-line JSON verdict up to a long rationale,
+/root/reference/pipelines/step4_vlm_review/vlm_audit_module.py:249-364).
+
+Measures, at 8B W8A8 / 980-token prompts / bucket 1024:
+- static wall: ceil(N/B) generate-batch calls at max_new = max budget
+- continuous wall: one serve() over N requests with per-request budgets
+- both include prefill; speedup = static / continuous.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from scripts.exp_qwen_generate import (
+    build_config,
+    materialize_quantized_on_device,
+)
+
+DEFAULT_BUDGETS = "64,96,128,160,192,224,256,320,64,96,128,160,192,256,384,512"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--budgets", default=DEFAULT_BUDGETS,
+                    help="comma list of per-request output lengths")
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--skip_static", action="store_true",
+                    help="reuse a previously measured static wall "
+                         "(saves a second big compile)")
+    ap.add_argument("--json_out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="harness smoke on the CPU platform")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    budgets = [int(b) for b in args.budgets.split(",")]
+    N, B = len(budgets), args.slots
+    max_new = max(budgets)
+
+    records = []
+
+    def emit(metric, value, unit, **extra):
+        rec = {"metric": metric, "value": round(float(value), 3),
+               "unit": unit, "slots": B, "requests": N, **extra}
+        if args.kv != "bf16":
+            rec["kv"] = args.kv
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+        if args.json_out:
+            with open(args.json_out, "a", encoding="utf-8") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    from emr2a_tpu.models.qwen3_vl import Qwen3VLGenerator, Qwen3VLModel
+    from emr2a_tpu.models.serving import ContinuousBatcher
+
+    cfg = build_config("8b", args.layers)
+    model = Qwen3VLModel(cfg)
+    print("materializing 8B params (W8A8) on device...", flush=True)
+    params = materialize_quantized_on_device(model, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    rng = np.random.RandomState(0)
+    # heterogeneous prompts: 980 down to ~720 real tokens in a 1024 bucket
+    reqs = [{"input_ids":
+             rng.randint(2, 150_000, (1, 980 - 20 * (i % 14)), np.int64),
+             "max_new_tokens": budgets[i]} for i in range(N)]
+
+    # -- continuous ---------------------------------------------------------
+    srv = ContinuousBatcher(model, params, n_slots=B, prompt_bucket=1024,
+                            max_new_tokens=max_new, eos_token_id=-1,
+                            kv_dtype=args.kv, chunk=args.chunk)
+    t0 = time.time()
+    out = srv.serve(reqs)
+    warm = time.time() - t0
+    print(f"continuous compile+serve: {warm:.1f}s", flush=True)
+    assert len(out) == N
+    t0 = time.time()
+    srv.serve(reqs)
+    cont_wall = time.time() - t0
+    total_tokens = sum(budgets)
+    print(f"continuous: {cont_wall:.2f}s for {total_tokens} tokens "
+          f"({total_tokens/cont_wall:.1f} tok/s aggregate)", flush=True)
+    emit("continuous_serve_wall", cont_wall, "s", chunk=args.chunk)
+    emit("continuous_serve_throughput", total_tokens / cont_wall, "tok/s",
+         chunk=args.chunk)
+
+    # -- static baseline ----------------------------------------------------
+    if not args.skip_static:
+        gen = Qwen3VLGenerator(model, params, eos_token_id=-1,
+                               kv_dtype=args.kv)
+        # pad rows to one (B, S) batch per group, per-row true_lens —
+        # the generate_batch serving layout
+        def run_static():
+            for g0 in range(0, N, B):
+                group = reqs[g0:g0 + B]
+                lens = [r["input_ids"].shape[1] for r in group]
+                S = max(lens)
+                ids = np.zeros((len(group), S), np.int64)
+                for b, r in enumerate(group):
+                    ids[b, :lens[b]] = r["input_ids"][0]
+                gen.generate(ids, max_new_tokens=max_new,
+                             prompt_bucket=1024,
+                             true_lens=np.asarray(lens, np.int32))
+
+        t0 = time.time()
+        run_static()
+        print(f"static compile+run: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        run_static()
+        stat_wall = time.time() - t0
+        print(f"static: {stat_wall:.2f}s ({total_tokens/stat_wall:.1f} "
+              "useful tok/s aggregate)", flush=True)
+        emit("static_serve_wall", stat_wall, "s", max_new=max_new)
+        emit("static_serve_throughput", total_tokens / stat_wall, "tok/s",
+             max_new=max_new)
+        emit("continuous_vs_static_speedup", stat_wall / cont_wall, "x")
+
+
+if __name__ == "__main__":
+    main()

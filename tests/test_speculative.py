@@ -91,6 +91,27 @@ def test_speculative_int8_kv_equals_greedy():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_speculative_w8a8_equals_quantized_greedy():
+    """Speculative decoding over W8A8-quantized target AND draft params
+    (the 8B serving configuration, scripts/exp_spec_decode.py) must
+    equal the quantized target's own greedy stream."""
+    from emr2a_tpu.models.quantize import quantize_qwen_text_params
+    cfg = tiny_config()
+    tmodel, tparams = init_params(cfg, 0)
+    dmodel, dparams = init_params(cfg, 7)
+    tq = {**tparams, "language_model":
+          quantize_qwen_text_params(tparams["language_model"])}
+    dq = {**dparams, "language_model":
+          quantize_qwen_text_params(dparams["language_model"])}
+
+    gen = Qwen3VLGenerator(tmodel, tq, eos_token_id=-1)
+    expected = gen.generate(PROMPT, max_new_tokens=10, prompt_bucket=16)
+    spec = SpeculativeGenerator(tmodel, tq, dmodel, dq,
+                                spec_k=3, eos_token_id=-1)
+    got = spec.generate(PROMPT, max_new_tokens=10, prompt_bucket=16)
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_speculative_eos_stop():
     """Pick the token the target actually emits first as the eos id:
     the stream must cut there and pad with eos, matching the plain
