@@ -32,7 +32,10 @@ def create_llm(llm_type: str, device: str = "tpu",
             default = kwargs.get("qwen3_config", {}).get("model_path")
         return Qwen3LLM(model_path=model_path or default, device=device,
                         dtype=kwargs.get("dtype", "bfloat16"),
-                        backend=kwargs.get("backend"))
+                        backend=kwargs.get("backend"),
+                        precision=kwargs.get("precision", "bf16"),
+                        kv_dtype=kwargs.get("kv_dtype", "bf16"),
+                        draft_model_path=kwargs.get("draft_model_path"))
 
     if lt in ("openai", "gpt4"):
         return OpenAILLM(
