@@ -76,7 +76,8 @@ class QwenVLBackend:
                  standardize_images: Optional[int] = None,
                  kv_dtype: str = "bf16",
                  draft_model_path: Optional[str] = None,
-                 draft_config=None, draft_params=None, spec_k: int = 4):
+                 draft_config=None, draft_params=None, spec_k: int = 4,
+                 decode_chunk: Optional[int] = 64):
         """``precision="int8"`` quantizes the decoder projections W8A8
         (models/quantize.quantize_qwen_text_params) — decode is weight-
         bandwidth-bound, int8 nearly halves the stream; tiny-model
@@ -103,10 +104,17 @@ class QwenVLBackend:
         tokens per cycle and the target verifies them in one forward.
         Lossless — the emitted stream is exactly the target's greedy
         decode.  Used for single-request greedy generate(); sampling
-        and generate_batch fall back to the plain generator."""
+        and generate_batch fall back to the plain generator.
+
+        ``decode_chunk`` (default 64) decodes in chunks with host-side
+        early exit: short answers under a long max_new budget stop
+        paying the weight stream at their real length (bit-identical
+        tokens — Qwen3VLGenerator.generate(chunk=...)).  None restores
+        the one-shot scan."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         self.standardize_images = standardize_images
+        self.decode_chunk = decode_chunk
         config, params = _load_qwen3_vl(model_path, config, params,
                                         cache_params)
         if tokenizer is None and model_path is not None:
@@ -238,7 +246,7 @@ class QwenVLBackend:
             input_ids, pixel_patches=pixel_patches, grid_thw=tuple(grids),
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p if temperature > 0 else 1.0,
-            prompt_bucket=self.prompt_bucket)
+            prompt_bucket=self.prompt_bucket, chunk=self.decode_chunk)
         return self._decode_row(out_ids[0])
 
     def generate_batch(self, requests: Sequence[dict],
@@ -291,7 +299,7 @@ class QwenVLBackend:
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p if temperature > 0 else 1.0,
             prompt_bucket=self.prompt_bucket, true_lens=true_lens,
-            position_ids=position_ids)
+            position_ids=position_ids, chunk=self.decode_chunk)
         return [self._decode_row(out_ids[b]) for b in range(B)]
 
     def generate_stream(self, requests: Sequence[dict],

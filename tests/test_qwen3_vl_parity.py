@@ -208,6 +208,37 @@ def test_generation_bucketing_invariant(hf, rng):
     np.testing.assert_array_equal(a[0], hf_out[0, input_ids.shape[1]:].numpy())
 
 
+def test_chunked_decode_equals_one_shot(hf, rng):
+    """chunk=K decode (host-side early exit) must be bit-identical to
+    the one-shot scan: greedy, SAMPLED (the rng key threads through the
+    carry, so per-step keys are the same), eos early-stop (the skipped
+    tail must come back eos-padded), and a 2-row batch."""
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    ids = np.array([[3, 5, 8, 13, 21, 34, 55, 89, 144, 6, 7],
+                    [7, 2, 9, 31, 4, 16, 25, 36, 49, 64, 81]],
+                   dtype=np.int64)
+    gen = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1)
+    for kwargs in (dict(temperature=0.0),
+                   dict(temperature=0.8, top_p=0.9, seed=3)):
+        a = gen.generate(ids, max_new_tokens=10, prompt_bucket=16, **kwargs)
+        b = gen.generate(ids, max_new_tokens=10, prompt_bucket=16, chunk=3,
+                         **kwargs)
+        np.testing.assert_array_equal(a, b, err_msg=str(kwargs))
+
+    # eos early-exit: stop on a token the model actually emits, so the
+    # chunked loop breaks before max_new and pads the tail with eos
+    stream = gen.generate(ids[:1], max_new_tokens=10, prompt_bucket=16)
+    eos = int(stream[0, 2])
+    gen_e = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=eos)
+    a = gen_e.generate(ids[:1], max_new_tokens=10, prompt_bucket=16)
+    b = gen_e.generate(ids[:1], max_new_tokens=10, prompt_bucket=16, chunk=3)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_int8_kv_cache_token_agreement(hf, rng):
     """kv_dtype="int8" (s8 KV cache + scales folded into the attention
     math) must reproduce the bf16-cache greedy tokens — single row,
