@@ -304,15 +304,18 @@ class QwenVLBackend:
 
     def generate_stream(self, requests: Sequence[dict],
                         max_new_tokens: int = 1024,
-                        n_slots: int = 8) -> List[str]:
+                        n_slots: int = 8, temperature: float = 0.0,
+                        top_p: float = 0.9) -> List[str]:
         """Serve N heterogeneous requests through continuous batching
         (models/serving.ContinuousBatcher): ``n_slots`` requests decode
         together and any slot whose request finishes is refilled from
         the queue between chunks — unlike ``generate_batch``, a batch
         of mixed output lengths is never held hostage by its slowest
-        row.  Greedy only (the batcher's parity contract); request
-        dicts match generate_batch's (``images``/``prompt``/optional
-        ``system``)."""
+        row.  Request dicts match generate_batch's (``images``/
+        ``prompt``/optional ``system``), plus optional per-request
+        ``temperature``/``top_p``/``seed`` overriding the call-level
+        sampling config (slots with mixed temperatures serve
+        together)."""
         if not requests:
             return []
         from emr2a_tpu.models.serving import ContinuousBatcher
@@ -330,8 +333,15 @@ class QwenVLBackend:
                 max_new_tokens=max_new_tokens,
                 eos_token_id=self.generator.eos_token_id,
                 kv_dtype=self.generator.kv_dtype)
-        reqs = [{"input_ids": np.asarray([ids], dtype=np.int64),
-                 "pixel_patches": patches, "grid_thw": tuple(grids)}
-                for ids, patches, grids in rows]
+        reqs = []
+        for i, (ids, patches, grids) in enumerate(rows):
+            t = float(requests[i].get("temperature", temperature) or 0.0)
+            reqs.append({
+                "input_ids": np.asarray([ids], dtype=np.int64),
+                "pixel_patches": patches, "grid_thw": tuple(grids),
+                "temperature": t,
+                "top_p": float(requests[i].get("top_p", top_p)
+                               if t > 0 else 1.0),
+                "seed": int(requests[i].get("seed") or i)})
         out = self._batchers[key].serve(reqs, max_new_tokens=max_new_tokens)
         return [self._decode_row(row) for row in out]

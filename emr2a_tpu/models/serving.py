@@ -44,6 +44,24 @@ from emr2a_tpu.models.qwen3_vl import (
 )
 
 
+def sample_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,
+                top_p: jnp.ndarray) -> jnp.ndarray:
+    """Per-row temperature/top-p sampling over (B, vocab) logits;
+    rows with temp <= 0 take the raw argmax (exactly the greedy path).
+    Vectorized so one compiled program serves slots with mixed
+    temperatures (the VLM-direct multi-temperature protocol)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.sum(cum - probs < top_p[:, None], axis=-1)  # >= 1 kept
+    cutoff = jnp.take_along_axis(sorted_logits, keep[:, None] - 1, axis=-1)
+    filtered = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.vmap(jax.random.categorical)(keys, filtered)
+    return jnp.where(temp <= 0, greedy, sampled.astype(jnp.int32))
+
+
 class ContinuousBatcher:
     """Slot-based continuous serving over one Qwen3-VL model.
 
@@ -77,7 +95,7 @@ class ContinuousBatcher:
         self.max_len = self.prompt_bucket + self.max_new_tokens + self.chunk
         self._prefill_fns: Dict = {}
         self._insert_fn = None
-        self._chunk_fn = None
+        self._chunk_fns: Dict[bool, object] = {}
         self._state = None
 
     # -- device state -------------------------------------------------------
@@ -103,6 +121,10 @@ class ContinuousBatcher:
             "gen": jnp.zeros((B,), jnp.int32),
             "pos_base": jnp.zeros((B,), jnp.int32),
             "tl": jnp.ones((B,), jnp.int32),
+            # per-slot sampling state (temp <= 0 rows decode greedy)
+            "key": jax.random.split(jax.random.PRNGKey(0), B),
+            "temp": jnp.zeros((B,), jnp.float32),
+            "top_p": jnp.ones((B,), jnp.float32),
         }
 
     # -- compiled programs ---------------------------------------------------
@@ -127,38 +149,50 @@ class ContinuousBatcher:
             logits = self.model.apply(
                 {"params": params}, last_hidden,
                 method=lambda m, h: m.language_model.project(h))
-            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1,)
             pos_base = (position_ids.max(axis=(0, 2)) + 1).astype(jnp.int32)
-            return cache, first, pos_base
+            return cache, logits.astype(jnp.float32), pos_base
 
         return jax.jit(run)
 
     def _build_insert(self):
-        def run(state, cache1, first, pos_base, true_len, slot):
+        def run(state, cache1, logits, pos_base, true_len, slot, key,
+                temp, top_p):
             cache = [
                 tuple(jax.lax.dynamic_update_slice(
                     buf, one, (slot,) + (0,) * (buf.ndim - 1))
                     for buf, one in zip(layer, layer1))
                 for layer, layer1 in zip(state["cache"], cache1)]
+            # first token from the prefill logits, with the slot's
+            # sampling config (temp <= 0 -> argmax, the greedy path)
+            key0, key = jax.random.split(key)
+            first = sample_rows(logits, key0[None], temp[None],
+                                top_p[None])[0]
             return {
                 "cache": cache,
-                "cur": state["cur"].at[slot].set(first[0]),
+                "cur": state["cur"].at[slot].set(first),
                 "gen": state["gen"].at[slot].set(0),
                 "pos_base": state["pos_base"].at[slot].set(pos_base[0]),
                 "tl": state["tl"].at[slot].set(true_len[0]),
+                "key": state["key"].at[slot].set(key),
+                "temp": state["temp"].at[slot].set(temp),
+                "top_p": state["top_p"].at[slot].set(top_p),
             }
 
         return jax.jit(run)
 
-    def _build_chunk(self):
+    def _build_chunk(self, sampling: bool):
+        """One chunk program per mode: the pure-greedy variant skips
+        the (B, vocab) sort/filter work entirely; the sampling variant
+        serves slots with mixed per-row temperatures."""
         P, max_len, eos = self.prompt_bucket, self.max_len, self.eos_token_id
         B = self.n_slots
 
         def run(params, state, active):
             tl, pos_base = state["tl"], state["pos_base"]
+            temp, top_p = state["temp"], state["top_p"]
 
             def step(carry, _):
-                cache, cur, gen, act = carry
+                cache, cur, gen, act, keys = carry
                 pos = jnp.broadcast_to(
                     (pos_base + gen)[None, :, None], (3, B, 1))
                 k_idx = jnp.arange(max_len)[None, None, :]
@@ -169,19 +203,26 @@ class ContinuousBatcher:
                 logits, cache = self.model.apply(
                     {"params": params}, cur[:, None], pos,
                     cache=cache, cache_pos=P + gen, attn_mask=mask)
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                if sampling:
+                    split = jax.vmap(jax.random.split)(keys)
+                    keys, subs = split[:, 0], split[:, 1]
+                    nxt = sample_rows(logits[:, -1], subs, temp, top_p)
+                else:
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 # same ordering as Qwen3VLGenerator.step: emit cur,
                 # then freeze rows whose emitted token was eos
                 act = act & (cur != eos)
                 nxt = jnp.where(act, nxt, eos)
                 gen = jnp.where(act, gen + 1, gen)
-                return (cache, nxt, gen, act), cur
+                return (cache, nxt, gen, act, keys), cur
 
-            (cache, cur, gen, _), toks = jax.lax.scan(
-                step, (state["cache"], state["cur"], state["gen"], active),
+            (cache, cur, gen, _, keys), toks = jax.lax.scan(
+                step, (state["cache"], state["cur"], state["gen"], active,
+                       state["key"]),
                 None, length=self.chunk)
             new_state = {"cache": cache, "cur": cur, "gen": gen,
-                         "pos_base": pos_base, "tl": tl}
+                         "pos_base": pos_base, "tl": tl, "key": keys,
+                         "temp": temp, "top_p": top_p}
             return new_state, toks.swapaxes(0, 1)  # (B, chunk)
 
         return jax.jit(run)
@@ -225,12 +266,18 @@ class ContinuousBatcher:
 
         Request dicts: ``input_ids`` (1, S) or (S,); optional
         ``pixel_patches``/``grid_thw``; optional per-request
-        ``max_new_tokens``.
+        ``max_new_tokens``, ``temperature`` (default 0 = greedy),
+        ``top_p`` and ``seed`` — slots with mixed temperatures serve
+        together (the VLM-direct multi-temperature protocol runs as one
+        stream); greedy rows still match the plain generator exactly.
         """
         if self._insert_fn is None:
             self._insert_fn = self._build_insert()
-        if self._chunk_fn is None:
-            self._chunk_fn = self._build_chunk()
+        sampling = any(float(r.get("temperature") or 0.0) > 0
+                       for r in requests)
+        if sampling not in self._chunk_fns:
+            self._chunk_fns[sampling] = self._build_chunk(sampling)
+        chunk_fn = self._chunk_fns[sampling]
         if self._state is None:
             self._state = self._init_state()
         default_new = max_new_tokens or self.max_new_tokens
@@ -247,20 +294,24 @@ class ContinuousBatcher:
             for s in range(self.n_slots):
                 if slot_req[s] is None and queue:
                     r = queue.pop(0)
-                    cache1, first, pos_base = self._prefill(requests[r])
+                    req = requests[r]
+                    cache1, logits, pos_base = self._prefill(req)
                     tl = jnp.asarray(
-                        [min(np.asarray(requests[r]["input_ids"]).reshape(
+                        [min(np.asarray(req["input_ids"]).reshape(
                             1, -1).shape[1], self.prompt_bucket)],
                         jnp.int32)
                     self._state = self._insert_fn(
-                        self._state, cache1, first, pos_base, tl,
-                        jnp.int32(s))
+                        self._state, cache1, logits, pos_base, tl,
+                        jnp.int32(s),
+                        jax.random.PRNGKey(int(req.get("seed") or r)),
+                        jnp.float32(float(req.get("temperature") or 0.0)),
+                        jnp.float32(float(req.get("top_p") or 1.0)))
                     slot_req[s] = r
                     active[s] = True
 
         refill()
         while any(r is not None for r in slot_req):
-            self._state, toks = self._chunk_fn(
+            self._state, toks = chunk_fn(
                 self.params, self._state, jnp.asarray(active))
             toks = np.asarray(toks)  # (n_slots, chunk)
             for s in range(self.n_slots):

@@ -117,6 +117,36 @@ def test_continuous_multimodal_mixed_with_text():
         np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
 
 
+def test_continuous_mixed_sampling():
+    """Slots with mixed temperatures serve in one stream: greedy rows
+    (temp 0) must STILL exactly match the plain generator even when
+    sharing chunks with sampled rows, and sampled rows must be
+    deterministic given their seed and in-vocabulary."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    greedy_reqs = text_requests(2, seed=11)
+    sampled_reqs = [dict(r, temperature=0.9, top_p=0.8, seed=100 + i)
+                    for i, r in enumerate(text_requests(2, seed=13))]
+    # interleave so greedy and sampled rows share decode chunks
+    reqs = [greedy_reqs[0], sampled_reqs[0], greedy_reqs[1],
+            sampled_reqs[1]]
+    budgets = [9] * 4
+
+    expected_greedy = plain_rows(model, params, greedy_reqs,
+                                 [9, 9], eos=-1)
+    srv = ContinuousBatcher(model, params, n_slots=3, prompt_bucket=16,
+                            max_new_tokens=9, eos_token_id=-1, chunk=3)
+    got = srv.serve(reqs, max_new_tokens=9)
+    np.testing.assert_array_equal(got[0], expected_greedy[0])
+    np.testing.assert_array_equal(got[2], expected_greedy[1])
+    for s in (1, 3):
+        assert got[s].min() >= 0 and got[s].max() < 128, got[s]
+    # same seeds -> same sampled streams on a repeat serve
+    again = srv.serve(reqs, max_new_tokens=9)
+    for i, (g, e) in enumerate(zip(again, got)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
 def test_backend_generate_stream_matches_batch(rng):
     """QwenVLBackend.generate_stream (continuous slots) must emit the
     same greedy text per request as generate_batch (static batch) —
@@ -144,6 +174,15 @@ def test_backend_generate_stream_matches_batch(rng):
     batch = be.generate_batch(requests, max_new_tokens=8)
     stream = be.generate_stream(requests, max_new_tokens=8, n_slots=2)
     assert stream == batch, (stream, batch)
+
+    # per-request sampling plumbing: a sampled row sharing slots must
+    # not perturb the greedy rows, and must be seed-deterministic
+    mixed = requests + [dict(requests[0], temperature=0.8, top_p=0.9,
+                             seed=7)]
+    out1 = be.generate_stream(mixed, max_new_tokens=8, n_slots=2)
+    assert out1[:3] == batch, (out1[:3], batch)
+    out2 = be.generate_stream(mixed, max_new_tokens=8, n_slots=2)
+    assert out1 == out2
 
 
 def test_continuous_rejects_overlong_prompt():
