@@ -61,6 +61,23 @@ class FakeVLMBackend:
                               max_new_tokens, temperature)
                 for r in requests]
 
+    def generate_stream(self, requests, max_new_tokens=1024, n_slots=8,
+                        temperature=0.0, top_p=0.9):
+        """Continuous-serving protocol of the production backend
+        (qwen_backend.QwenVLBackend.generate_stream); records the slot
+        config and per-request temperatures so tests can assert the
+        streaming shape."""
+        self.stream_calls = getattr(self, "stream_calls", [])
+        self.stream_calls.append({
+            "n": len(requests), "n_slots": n_slots,
+            "temperatures": [
+                float(r.get("temperature", temperature) or 0.0)
+                for r in requests]})
+        return [self.generate(r["images"], r["prompt"], r.get("system"),
+                              max_new_tokens,
+                              r.get("temperature", temperature))
+                for r in requests]
+
 
 def load_backend(model_path: Optional[str], device: str = "tpu",
                  precision: str = "bf16",

@@ -117,11 +117,11 @@ def test_vlm_direct_parser():
     assert b._parse_vlm_output('{"pred_label": "Banana"}') is None
 
 
-def test_vlm_direct_end_to_end(tmp_path, rng):
+def _make_cohort(tmp_path, rng, n=8):
     from PIL import Image
     from emr2a_tpu.data.manifest import save_manifest
     records = []
-    for i in range(8):
+    for i in range(n):
         pid = f"p{i}"
         pdir = tmp_path / pid
         pdir.mkdir()
@@ -135,6 +135,11 @@ def test_vlm_direct_end_to_end(tmp_path, rng):
                         "slices": slices, "meta": {"sex": "男", "age": "40"}})
     mpath = tmp_path / "manifest.jsonl"
     save_manifest(records, mpath)
+    return mpath
+
+
+def test_vlm_direct_end_to_end(tmp_path, rng):
+    mpath = _make_cohort(tmp_path, rng)
 
     backend = FakeVLMBackend(script=[
         '{"pred_label": "PJP", "confidence": 0.9, "rationale": "x"}',
@@ -151,6 +156,50 @@ def test_vlm_direct_end_to_end(tmp_path, rng):
     summary = json.loads((out_dir / "summary.json").read_text())
     assert "temp_0.0" in summary["average_metrics"]
     assert "agreement" in summary["average_metrics"]
+
+
+def test_vlm_direct_continuous_matches_sequential(tmp_path, rng):
+    """--serving continuous streams the (temperature x patient) grid
+    through generate_stream in ONE call, yielding the same predictions
+    as the sequential protocol (the fake backend cycles its script in
+    request order, which the grid preserves: per temperature, per
+    patient)."""
+    mpath = _make_cohort(tmp_path, rng)
+    script = ['{"pred_label": "PJP", "confidence": 0.9, "rationale": "x"}',
+              '{"pred_label": "Normal", "confidence": 0.7, "rationale": "y"}',
+              '{"pred_label": "Viral", "confidence": 0.6, "rationale": "z"}']
+    outs = {}
+    backends = {}
+    for mode in ("sequential", "continuous"):
+        backend = FakeVLMBackend(script=list(script))
+        out_dir = tmp_path / f"out_{mode}"
+        vlm_direct_main(
+            ["--manifest", str(mpath), "--output_dir", str(out_dir),
+             "--temperatures", "0.0", "0.7", "--serving", mode,
+             "--n_slots", "4"], backend=backend)
+        outs[mode] = json.loads(
+            (out_dir / "vlm_direct_judging_results.json").read_text())
+        backends[mode] = backend
+
+    seq = outs["sequential"]["folds"]["all_patients"]
+    con = outs["continuous"]["folds"]["all_patients"]
+    for temp_key in ("temp_0.0", "temp_0.7"):
+        sp = [(p["patient_id"], p["pred_label"], p["temperature"])
+              for p in seq["predictions"][temp_key]]
+        cp = [(p["patient_id"], p["pred_label"], p["temperature"])
+              for p in con["predictions"][temp_key]]
+        assert sp == cp
+        assert seq["metrics"][temp_key] == con["metrics"][temp_key]
+    assert seq["agreement"]["overall_agreement"] == \
+        con["agreement"]["overall_agreement"]
+
+    # continuous really streamed: one generate_stream call for the
+    # whole 2x8 grid with per-request temperatures, zero per-item calls
+    stream = backends["continuous"].stream_calls
+    assert len(stream) == 1
+    assert stream[0]["n"] == 16 and stream[0]["n_slots"] == 4
+    assert stream[0]["temperatures"] == [0.0] * 8 + [0.7] * 8
+    assert not getattr(backends["sequential"], "stream_calls", [])
 
 
 def test_agreement_metric():

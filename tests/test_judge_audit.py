@@ -225,3 +225,13 @@ def test_audit_batch_batched_matches_sequential(cohort, tmp_path):
     assert bat_backend.batch_calls == [2, 2, 1]  # 5 cases in chunks of 2
     assert [r["final_decision"] for r in bat["audit_results"]] == \
         ["accept", "reject", "abstain", "accept", "abstain"]
+
+    # serving="continuous" routes through generate_stream (slot-based
+    # continuous batching) in ONE call, same results again
+    str_backend = FakeVLMBackend(script=script)
+    srm = VLMAuditModule(backend=str_backend).audit_batch(
+        output_dir=tmp_path / "c", vlm_batch_size=2, serving="continuous",
+        **kwargs)
+    assert srm["audit_results"] == seq["audit_results"]
+    assert [c["n"] for c in str_backend.stream_calls] == [5]
+    assert not getattr(str_backend, "batch_calls", [])
