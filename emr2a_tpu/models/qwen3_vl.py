@@ -740,6 +740,15 @@ def compute_mrope_position_ids(input_ids: np.ndarray,
     return out
 
 
+# Sampling restricts to the top-k logits before the nucleus (top-p)
+# filter — k=50 is the HF GenerationConfig default that the reference's
+# model.generate calls inherit (llms/qwen3_llm.py:104-115,
+# vlm_audit_module.py:338-343 never set top_k).  It is also what makes
+# sampled decode cheap on TPU: one lax.top_k pass over the vocab
+# instead of a full O(V log V) sort of 151,936 logits per step.
+SAMPLE_TOP_K = 50
+
+
 class Qwen3VLGenerator:
     """Prefill + scan-decode greedy/sampled generation over a static
     KV cache.  One compile per (prompt bucket, max_new_tokens)."""
@@ -777,18 +786,25 @@ class Qwen3VLGenerator:
             if temperature <= 0:
                 return jnp.argmax(logits_last, axis=-1)
             scaled = logits_last.astype(jnp.float32) / temperature
+            # top-k prefilter (k=50): the HF GenerationConfig default
+            # the reference inherits through model.generate
+            # (llms/qwen3_llm.py:104-115 never sets top_k), and the
+            # TPU-efficient form — one O(V) lax.top_k pass instead of a
+            # full vocab sort; the nucleus math then runs on k logits.
+            k = min(SAMPLE_TOP_K, scaled.shape[-1])
+            vals, idx = jax.lax.top_k(scaled, k)  # descending
             if top_p < 1.0:
                 # nucleus filter: keep the smallest prefix of the
                 # sorted distribution with cumulative mass >= top_p
-                sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-                probs = jax.nn.softmax(sorted_logits, axis=-1)
+                probs = jax.nn.softmax(vals, axis=-1)
                 cum = jnp.cumsum(probs, axis=-1)
                 # number of tokens kept per row (always >= 1)
                 keep = jnp.sum(cum - probs < top_p, axis=-1)
                 cutoff = jnp.take_along_axis(
-                    sorted_logits, keep[:, None] - 1, axis=-1)
-                scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-            return jax.random.categorical(key, scaled, axis=-1)
+                    vals, keep[:, None] - 1, axis=-1)
+                vals = jnp.where(vals < cutoff, -jnp.inf, vals)
+            choice = jax.random.categorical(key, vals, axis=-1)
+            return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
 
         return sample
 

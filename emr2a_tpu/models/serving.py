@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from emr2a_tpu.models.qwen3_vl import (
+    SAMPLE_TOP_K,
     Qwen3VLModel,
     compute_mrope_position_ids,
 )
@@ -46,19 +47,24 @@ from emr2a_tpu.models.qwen3_vl import (
 
 def sample_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,
                 top_p: jnp.ndarray) -> jnp.ndarray:
-    """Per-row temperature/top-p sampling over (B, vocab) logits;
+    """Per-row temperature/top-k-top-p sampling over (B, vocab) logits;
     rows with temp <= 0 take the raw argmax (exactly the greedy path).
     Vectorized so one compiled program serves slots with mixed
-    temperatures (the VLM-direct multi-temperature protocol)."""
+    temperatures (the VLM-direct multi-temperature protocol).  Same
+    top-k=50 prefilter as Qwen3VLGenerator._sampler (the HF default
+    the reference inherits; also one lax.top_k pass instead of a full
+    vocab sort per step)."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)[:, None]
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    k = min(SAMPLE_TOP_K, scaled.shape[-1])
+    vals, idx = jax.lax.top_k(scaled, k)  # descending
+    probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep = jnp.sum(cum - probs < top_p[:, None], axis=-1)  # >= 1 kept
-    cutoff = jnp.take_along_axis(sorted_logits, keep[:, None] - 1, axis=-1)
-    filtered = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-    sampled = jax.vmap(jax.random.categorical)(keys, filtered)
+    cutoff = jnp.take_along_axis(vals, keep[:, None] - 1, axis=-1)
+    filtered = jnp.where(vals < cutoff, -jnp.inf, vals)
+    choice = jax.vmap(jax.random.categorical)(keys, filtered)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     return jnp.where(temp <= 0, greedy, sampled.astype(jnp.int32))
 
 
