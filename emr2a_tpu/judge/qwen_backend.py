@@ -315,7 +315,9 @@ class QwenVLBackend:
         ``prompt``/optional ``system``), plus optional per-request
         ``temperature``/``top_p``/``seed`` overriding the call-level
         sampling config (slots with mixed temperatures serve
-        together)."""
+        together) and an optional per-request ``max_new_tokens``
+        budget (capped by the call-level value, which sizes the KV
+        cache)."""
         if not requests:
             return []
         from emr2a_tpu.models.serving import ContinuousBatcher
@@ -343,5 +345,8 @@ class QwenVLBackend:
                 "top_p": float(requests[i].get("top_p", top_p)
                                if t > 0 else 1.0),
                 "seed": int(requests[i].get("seed") or i)})
+            if requests[i].get("max_new_tokens"):
+                reqs[-1]["max_new_tokens"] = min(
+                    int(requests[i]["max_new_tokens"]), max_new_tokens)
         out = self._batchers[key].serve(reqs, max_new_tokens=max_new_tokens)
         return [self._decode_row(row) for row in out]

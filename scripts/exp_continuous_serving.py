@@ -50,9 +50,18 @@ def main():
                     help="comma list of per-request output lengths")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--geometry", default="8b",
+                    choices=["tiny", "2b", "8b"])
+    ap.add_argument("--prompt_len", type=int, default=980)
+    ap.add_argument("--bucket", type=int, default=1024)
     ap.add_argument("--skip_static", action="store_true",
                     help="reuse a previously measured static wall "
                          "(saves a second big compile)")
+    ap.add_argument("--sampled", action="store_true",
+                    help="also measure the mixed-temperature stream "
+                         "(half the slots greedy, half top-k/top-p "
+                         "sampled — the VLM-direct multi-temperature "
+                         "protocol); one extra chunk-program compile")
     ap.add_argument("--json_out", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="harness smoke on the CPU platform")
@@ -80,20 +89,24 @@ def main():
     from emr2a_tpu.models.qwen3_vl import Qwen3VLGenerator, Qwen3VLModel
     from emr2a_tpu.models.serving import ContinuousBatcher
 
-    cfg = build_config("8b", args.layers)
+    cfg = build_config(args.geometry, args.layers)
     model = Qwen3VLModel(cfg)
-    print("materializing 8B params (W8A8) on device...", flush=True)
+    print(f"materializing {args.geometry} params (W8A8) on device...",
+          flush=True)
     params = materialize_quantized_on_device(model, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     rng = np.random.RandomState(0)
-    # heterogeneous prompts: 980 down to ~720 real tokens in a 1024 bucket
+    # heterogeneous prompts: prompt_len down to ~73% of it in the bucket
+    plen, step = args.prompt_len, max(1, args.prompt_len // 49)
+    vocab = cfg.text.vocab_size - 2
     reqs = [{"input_ids":
-             rng.randint(2, 150_000, (1, 980 - 20 * (i % 14)), np.int64),
+             rng.randint(2, vocab, (1, plen - step * (i % 14)), np.int64),
              "max_new_tokens": budgets[i]} for i in range(N)]
 
     # -- continuous ---------------------------------------------------------
-    srv = ContinuousBatcher(model, params, n_slots=B, prompt_bucket=1024,
+    srv = ContinuousBatcher(model, params, n_slots=B,
+                            prompt_bucket=args.bucket,
                             max_new_tokens=max_new, eos_token_id=-1,
                             kv_dtype=args.kv, chunk=args.chunk)
     t0 = time.time()
@@ -111,6 +124,29 @@ def main():
     emit("continuous_serve_throughput", total_tokens / cont_wall, "tok/s",
          chunk=args.chunk)
 
+    # -- mixed-temperature stream -------------------------------------------
+    if args.sampled:
+        # Same requests, alternating greedy / sampled rows: measures
+        # the sampling chunk program's cost at the real 151,936 vocab
+        # (per-step lax.top_k(50) + nucleus math on 50 logits —
+        # models/serving.sample_rows) against the pure-greedy program.
+        sreqs = [dict(r, temperature=(0.7 if i % 2 else 0.0), top_p=0.9,
+                      seed=i) for i, r in enumerate(reqs)]
+        t0 = time.time()
+        out = srv.serve(sreqs)
+        print(f"sampled compile+serve: {time.time()-t0:.1f}s", flush=True)
+        assert len(out) == N
+        t0 = time.time()
+        srv.serve(sreqs)
+        samp_wall = time.time() - t0
+        print(f"mixed-temperature: {samp_wall:.2f}s "
+              f"({total_tokens/samp_wall:.1f} tok/s aggregate)", flush=True)
+        emit("continuous_serve_sampled_wall", samp_wall, "s",
+             chunk=args.chunk)
+        emit("continuous_serve_sampled_throughput",
+             total_tokens / samp_wall, "tok/s", chunk=args.chunk)
+        emit("sampled_vs_greedy_overhead", samp_wall / cont_wall, "x")
+
     # -- static baseline ----------------------------------------------------
     if not args.skip_static:
         gen = Qwen3VLGenerator(model, params, eos_token_id=-1,
@@ -126,7 +162,7 @@ def main():
                 for b, r in enumerate(group):
                     ids[b, :lens[b]] = r["input_ids"][0]
                 gen.generate(ids, max_new_tokens=max_new,
-                             prompt_bucket=1024,
+                             prompt_bucket=args.bucket,
                              true_lens=np.asarray(lens, np.int32))
 
         t0 = time.time()

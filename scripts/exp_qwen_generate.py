@@ -140,7 +140,19 @@ def materialize_quantized_on_device(model, key, lm_head_int8=True,
 def build_config(geometry: str, layers=None):
     from emr2a_tpu.models.qwen3_vl import (Qwen3VLConfig, QwenTextConfig,
                                            QwenVisionConfig)
-    if geometry == "2b":
+    if geometry == "tiny":
+        # CPU harness smoke only — keeps every script driveable
+        # without a multi-minute hidden-4096 compile.
+        text = QwenTextConfig(
+            vocab_size=512, hidden_size=64, num_layers=layers or 2,
+            num_heads=4, num_kv_heads=2, head_dim=16,
+            intermediate_size=128, mrope_section=(4, 2, 2),
+            dtype=jnp.bfloat16)
+        vis = QwenVisionConfig(
+            depth=2, hidden_size=32, intermediate_size=64, num_heads=2,
+            patch_size=4, out_hidden_size=64, num_position_embeddings=64,
+            deepstack_visual_indexes=(0,), dtype=jnp.bfloat16)
+    elif geometry == "2b":
         # Qwen3-VL-2B-class (hidden 2048 / 28 layers / GQA 16:8 /
         # head_dim 128 / ffn 6144; vision: depth 24, hidden 1152).
         text = QwenTextConfig(

@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--target_layers", type=int, default=None)
     ap.add_argument("--draft_layers", type=int, default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny geometry for a CPU harness smoke")
+    ap.add_argument("--prompt_len", type=int, default=980)
+    ap.add_argument("--bucket", type=int, default=1024)
     ap.add_argument("--json_out", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="smoke-test the harness on the CPU platform "
@@ -77,8 +81,8 @@ def main():
     from emr2a_tpu.models.qwen3_vl import Qwen3VLModel
     from emr2a_tpu.models.speculative import SpeculativeGenerator
 
-    tcfg = build_config("8b", args.target_layers)
-    dcfg = build_config("2b", args.draft_layers)
+    tcfg = build_config("tiny" if args.tiny else "8b", args.target_layers)
+    dcfg = build_config("tiny" if args.tiny else "2b", args.draft_layers)
 
     print("materializing 8B target (W8A8) on device...", flush=True)
     tmodel = Qwen3VLModel(tcfg)
@@ -96,23 +100,27 @@ def main():
     spec = SpeculativeGenerator(tmodel, tparams, dmodel, dparams,
                                 spec_k=args.spec_k, eos_token_id=-1,
                                 kv_dtype=args.kv)
-    prompt = np.random.RandomState(0).randint(2, 150_000, (1, 980), np.int64)
+    prompt = np.random.RandomState(0).randint(
+        2, tcfg.text.vocab_size - 2, (1, args.prompt_len), np.int64)
 
     times = {}
-    for max_new in (32, 96):
+    lo, hi = (8, 24) if args.tiny else (32, 96)
+    for max_new in (lo, hi):
         t0 = time.time()
-        spec.generate(prompt, max_new_tokens=max_new, prompt_bucket=1024)
+        spec.generate(prompt, max_new_tokens=max_new,
+                      prompt_bucket=args.bucket)
         print(f"compile+run max_new={max_new}: {time.time()-t0:.1f}s",
               flush=True)
         best = None
         for _ in range(3):
             t0 = time.time()
-            spec.generate(prompt, max_new_tokens=max_new, prompt_bucket=1024)
+            spec.generate(prompt, max_new_tokens=max_new,
+                          prompt_bucket=args.bucket)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[max_new] = best
     # acceptance ~0 with independent random weights: one cycle per token
-    cycle = (times[96] - times[32]) / 64
+    cycle = (times[hi] - times[lo]) / (hi - lo)
     print(f"speculative cycle (k={args.spec_k} draft steps + 1 target "
           f"verify): {cycle*1000:.2f} ms")
     emit("spec_cycle", cycle * 1000, "ms")

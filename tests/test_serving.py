@@ -184,6 +184,14 @@ def test_backend_generate_stream_matches_batch(rng):
     out2 = be.generate_stream(mixed, max_new_tokens=8, n_slots=2)
     assert out1 == out2
 
+    # per-request max_new_tokens caps that row's budget: its greedy
+    # stream is the first 4 tokens of the full-budget stream (the
+    # ToyTokenizer decodes one word per token)
+    short = be.generate_stream([dict(requests[0], max_new_tokens=4)],
+                               max_new_tokens=8, n_slots=2)[0]
+    full_words = batch[0].split()
+    assert short.split() == full_words[:min(4, len(full_words))]
+
 
 def test_continuous_rejects_overlong_prompt():
     cfg = tiny_config()
