@@ -69,6 +69,26 @@ class Qwen3LLM(BaseLLM):
         return super().generate_batch(prompts, images_list, max_new_tokens,
                                       temperature, top_p, **kwargs)
 
+    def generate_stream(self, prompts, images_list=None, max_new_tokens=512,
+                        temperature=0.2, top_p=0.9, n_slots=8, seeds=None):
+        """Continuous-batching variant of ``generate_batch``: prompts
+        stream through decode slots (finished slots refill from the
+        queue), so a batch of mixed output lengths is never held
+        hostage by its slowest row.  ``seeds`` optionally gives each
+        sampled prompt a deterministic per-request seed.  Falls back to
+        ``generate_batch`` for backends without ``generate_stream``."""
+        if hasattr(self.backend, "generate_stream") and prompts:
+            requests = [
+                {"images": images_list[i] if images_list else [],
+                 "prompt": p,
+                 **({"seed": seeds[i]} if seeds else {})}
+                for i, p in enumerate(prompts)]
+            return self.backend.generate_stream(
+                requests, max_new_tokens=max_new_tokens, n_slots=n_slots,
+                temperature=temperature, top_p=top_p)
+        return self.generate_batch(prompts, images_list, max_new_tokens,
+                                   temperature, top_p)
+
     @staticmethod
     def _text_of(content) -> str:
         if isinstance(content, str):

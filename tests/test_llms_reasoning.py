@@ -67,3 +67,19 @@ def test_evaluate_accuracy():
              {"diagnosis": "PJP"}]
     out = ev.evaluate_accuracy(preds, ["病毒性肺炎", "正常", "细菌性肺炎"])
     assert out == {"accuracy": pytest.approx(2 / 3), "correct": 2, "total": 3}
+
+
+def test_qwen3_llm_generate_stream_routes_to_backend():
+    """Qwen3LLM.generate_stream streams the prompt batch through the
+    backend's continuous-batching protocol (one wave, per-request
+    seeds), falling back to generate_batch-compatible outputs."""
+    from emr2a_tpu.judge.backends import FakeVLMBackend
+    from emr2a_tpu.llms.qwen3_llm import Qwen3LLM
+
+    backend = FakeVLMBackend(script=["A", "B", "C"])
+    llm = Qwen3LLM("fake", backend=backend)
+    out = llm.generate_stream(["p1", "p2", "p3"], temperature=0.0,
+                              n_slots=2, seeds=[10, 11, 12])
+    assert out == ["A", "B", "C"]
+    assert backend.stream_calls[0]["n"] == 3
+    assert backend.stream_calls[0]["n_slots"] == 2
