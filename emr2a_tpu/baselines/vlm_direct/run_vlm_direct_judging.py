@@ -222,13 +222,24 @@ class VLMDirectJudgingBaseline:
         entries = []  # (temperature, patient, request)
         for ti, temp in enumerate(temperatures):
             for pi, patient in enumerate(patients):
-                req = self.build_request(
-                    patient, temp, prompt_template, system_message,
-                    seed=seed_base + ti * len(patients) + pi)
+                try:
+                    req = self.build_request(
+                        patient, temp, prompt_template, system_message,
+                        seed=seed_base + ti * len(patients) + pi)
+                except Exception as e:  # skip-and-continue per patient,
+                    logger.error(       # like the sequential path
+                        "Error preparing patient %s: %s",
+                        patient.get("patient_id"), e, exc_info=True)
+                    req = None
                 if req is not None:
                     entries.append((temp, patient, req))
-        outputs = self.backend.generate_stream(
-            [e[2] for e in entries], max_new_tokens=2048, n_slots=n_slots)
+        try:
+            outputs = self.backend.generate_stream(
+                [e[2] for e in entries], max_new_tokens=2048,
+                n_slots=n_slots)
+        except Exception as e:
+            logger.error("Continuous serving failed: %s", e, exc_info=True)
+            return {t: [] for t in temperatures}
         results: Dict[float, List[Dict]] = {t: [] for t in temperatures}
         for (temp, patient, _), text in zip(entries, outputs):
             result = self._finish(text, patient, temp)

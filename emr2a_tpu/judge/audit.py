@@ -294,7 +294,12 @@ class VLMAuditModule:
         samples = list(zip(query_patients, top_neighbors_list,
                            retrieval_predictions))
         vlm_results: List[Optional[Dict]] = []
-        batched = (vlm_batch_size > 1 and self.backend is not None
+        # serving="continuous" counts as batched even at slot count 1:
+        # the user explicitly asked for the slot server, which still
+        # buys chunked early-exit decode — dropping the flag silently
+        # would pay the exact per-case cost it was meant to remove.
+        batched = ((vlm_batch_size > 1 or serving == "continuous")
+                   and self.backend is not None
                    and hasattr(self.backend, "generate_batch"))
         if batched:
             requests: List[Optional[Dict]] = []

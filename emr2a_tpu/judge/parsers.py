@@ -85,18 +85,32 @@ def extract_json_payload(raw_output: str) -> Optional[Dict]:
     if found:
         return found[-1]
 
-    # Python-literal dicts (single quotes) embedded in prose: grow each
-    # trailing "{...}"-bounded slice until ``ast.literal_eval`` accepts
-    # it, scanning right-to-left so later objects still win.
-    for m_open in reversed(list(re.finditer(r"\{", text))):
-        start = m_open.start()
-        for m_close in re.finditer(r"\}", text[start:]):
-            try:
-                obj = ast.literal_eval(text[start:start + m_close.end()])
-            except (ValueError, SyntaxError, MemoryError, RecursionError):
-                continue
-            if isinstance(obj, dict):
-                return obj
+    # Python-literal dicts (single quotes) embedded in prose: collect
+    # balanced top-level {...} spans in ONE linear pass (a plain depth
+    # counter — a brace inside a quoted value just makes that span fail
+    # literal_eval, which is the safe direction for a last-resort
+    # stage) and evaluate them right-to-left so later objects still
+    # win.  Growing every (open, close) window instead is quadratic in
+    # the brace count of a 2k-token thinking dump.
+    spans = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(text):
+        if ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}" and depth:
+            depth -= 1
+            if depth == 0:
+                spans.append((start, i + 1))
+    for s, e in reversed(spans):
+        try:
+            obj = ast.literal_eval(text[s:e])
+        except (ValueError, SyntaxError, MemoryError, RecursionError):
+            continue
+        if isinstance(obj, dict):
+            return obj
     return None
 
 

@@ -201,8 +201,10 @@ class QwenVLBackend:
             if self.standardize_images:
                 n = self.standardize_images
                 from PIL import Image
-                img = Image.fromarray(np.asarray(img)) \
-                    if not hasattr(img, "resize") else img
+                # isinstance, not hasattr("resize"): np.ndarray also
+                # has .resize, which mutates in place and returns None
+                if not isinstance(img, Image.Image):
+                    img = Image.fromarray(np.asarray(img))
                 img = img.resize((n, n))
             proc = self.image_processor(images=[np.asarray(img)],
                                         return_tensors="np")
@@ -344,7 +346,9 @@ class QwenVLBackend:
                 "temperature": t,
                 "top_p": float(requests[i].get("top_p", top_p)
                                if t > 0 else 1.0),
-                "seed": int(requests[i].get("seed") or i)})
+                # `is not None`, not `or`: an explicit seed 0 is a seed
+                "seed": int(requests[i]["seed"]
+                            if requests[i].get("seed") is not None else i)})
             if requests[i].get("max_new_tokens"):
                 reqs[-1]["max_new_tokens"] = min(
                     int(requests[i]["max_new_tokens"]), max_new_tokens)

@@ -104,7 +104,7 @@ def _quantize_dense_int4(entry: Dict) -> Dict:
     return out
 
 
-def _fuse_entries(layer: Dict, names, out_name: str) -> Dict:
+def _fuse_entries(layer: Dict, names) -> Dict:
     """Concatenate projection kernels (and biases, if any) along the
     output axis into one entry — one streaming-kernel dispatch and one
     activation quantize instead of len(names).  Column scales are
@@ -144,25 +144,28 @@ def quantize_qwen_text_params(params: Dict,
 
     def one_layer(layer: Dict) -> Dict:
         out = dict(layer)
-        for proj in _QWEN_PROJS:
-            if proj in layer and "kernel" in layer[proj]:
-                out[proj] = quant(layer[proj])
+        # ``fuse_projs``: merge q/k/v and gate/up into single entries
+        # (QwenTextDecoderLayer routes on qkv_proj / gate_up_proj) —
+        # fewer kernel dispatches per layer and one activation quantize
+        # per fused group.  Serving-only, single-chip layout (TP
+        # shardings name the unfused projs).  Members of a fused group
+        # are quantized once, as the concatenation (column scales are
+        # per-output-column, so the result is identical).
+        fused = set()
         if fuse_projs:
-            # ``fuse_projs``: merge q/k/v and gate/up into single
-            # entries (QwenTextDecoderLayer routes on qkv_proj /
-            # gate_up_proj) — fewer kernel dispatches per layer and one
-            # activation quantize per fused group.  Serving-only,
-            # single-chip layout (TP shardings name the unfused projs).
             qkv = ("q_proj", "k_proj", "v_proj")
             if all(p in layer and "kernel" in layer[p] for p in qkv):
-                out["qkv_proj"] = quant(_fuse_entries(layer, qkv, "qkv"))
-                for p in qkv:
-                    del out[p]
+                out["qkv_proj"] = quant(_fuse_entries(layer, qkv))
+                fused.update(qkv)
             gu = ("gate_proj", "up_proj")
             if all(p in layer and "kernel" in layer[p] for p in gu):
-                out["gate_up_proj"] = quant(_fuse_entries(layer, gu, "gu"))
-                for p in gu:
-                    del out[p]
+                out["gate_up_proj"] = quant(_fuse_entries(layer, gu))
+                fused.update(gu)
+            for p in fused:
+                del out[p]
+        for proj in _QWEN_PROJS:
+            if proj not in fused and proj in layer and "kernel" in layer[proj]:
+                out[proj] = quant(layer[proj])
         return out
 
     out = {name: (one_layer(sub) if name.startswith("layer_") else sub)

@@ -309,7 +309,9 @@ class ContinuousBatcher:
                     self._state = self._insert_fn(
                         self._state, cache1, logits, pos_base, tl,
                         jnp.int32(s),
-                        jax.random.PRNGKey(int(req.get("seed") or r)),
+                        jax.random.PRNGKey(int(
+                            req["seed"] if req.get("seed") is not None
+                            else r)),
                         jnp.float32(float(req.get("temperature") or 0.0)),
                         jnp.float32(float(req.get("top_p") or 1.0)))
                     slot_req[s] = r
@@ -334,6 +336,12 @@ class ContinuousBatcher:
                     slot_req[s] = None
                     active[s] = False
             refill()
+
+        # Release the slot state (KV caches — multi-GiB at 8B) between
+        # waves: a long-lived backend keeps one batcher per prompt
+        # bucket, and drained batchers must not pin HBM.  Compiled
+        # programs stay cached; the next serve() re-zeros the state.
+        self._state = None
 
         out = []
         for r, toks_r in enumerate(emitted):

@@ -192,6 +192,14 @@ def test_backend_generate_stream_matches_batch(rng):
     full_words = batch[0].split()
     assert short.split() == full_words[:min(4, len(full_words))]
 
+    # standardize_images must treat numpy inputs as images to convert,
+    # not call np.ndarray.resize (in-place, returns None) — empty
+    # output is fine (random net may emit eos first), crashing is not
+    be.standardize_images = 16
+    out = be.generate(requests[0]["images"], requests[0]["prompt"],
+                      max_new_tokens=4)
+    assert isinstance(out, str)
+
 
 def test_continuous_rejects_overlong_prompt():
     cfg = tiny_config()
