@@ -61,7 +61,13 @@ def test_serve_follow_waves(tmp_path):
     backend = FakeVLMBackend(script=["A", "B"])
 
     def later():
-        time.sleep(0.4)
+        # append the second wave only after the first is served, so the
+        # two waves can't collapse into one poll under CPU contention
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if out.exists() and "w1" in out.read_text():
+                break
+            time.sleep(0.05)
         with inp.open("a", encoding="utf-8") as f:
             f.write(json.dumps({"id": "w2", "prompt": "y"}) + "\n")
             f.write(json.dumps({"cmd": "shutdown"}) + "\n")
