@@ -344,7 +344,9 @@ class QwenVLBackend:
                 "input_ids": np.asarray([ids], dtype=np.int64),
                 "pixel_patches": patches, "grid_thw": tuple(grids),
                 "temperature": t,
-                "top_p": float(requests[i].get("top_p", top_p)
+                # None-safe like temperature/seed: a request carrying
+                # an explicit top_p=None falls back to the call level
+                "top_p": float((requests[i].get("top_p") or top_p)
                                if t > 0 else 1.0),
                 # `is not None`, not `or`: an explicit seed 0 is a seed
                 "seed": int(requests[i]["seed"]

@@ -108,16 +108,34 @@ def serve_wave(backend: VLMBackend, requests: List[Dict],
         else:
             ready.append((i, backend_req))
     if ready:
-        if hasattr(backend, "generate_stream"):
-            outputs = backend.generate_stream(
-                [r for _, r in ready], max_new_tokens=max_new_tokens,
-                n_slots=n_slots)
-        else:  # fall back to the static batched protocol
-            outputs = backend.generate_batch(
-                [r for _, r in ready], max_new_tokens=max_new_tokens)
-        for (i, _), out in zip(ready, outputs):
-            responses[i] = {"id": requests[i]["id"], "output": out,
-                            "ok": True}
+        try:
+            if hasattr(backend, "generate_stream"):
+                outputs = backend.generate_stream(
+                    [r for _, r in ready], max_new_tokens=max_new_tokens,
+                    n_slots=n_slots)
+            else:  # fall back to the static batched protocol
+                outputs = backend.generate_batch(
+                    [r for _, r in ready], max_new_tokens=max_new_tokens)
+            for (i, _), out in zip(ready, outputs):
+                responses[i] = {"id": requests[i]["id"], "output": out,
+                                "ok": True}
+        except Exception as e:
+            # one poisoned request must not kill the service: retry the
+            # wave one request at a time so only the bad ones fail
+            logger.error("Wave failed (%s); retrying per-request", e)
+            for i, backend_req in ready:
+                try:
+                    out = backend.generate(
+                        backend_req["images"], backend_req["prompt"],
+                        system=backend_req.get("system"),
+                        max_new_tokens=max_new_tokens,
+                        temperature=float(
+                            backend_req.get("temperature") or 0.0))
+                    responses[i] = {"id": requests[i]["id"],
+                                    "output": out, "ok": True}
+                except Exception as e2:
+                    responses[i] = {"id": requests[i]["id"], "ok": False,
+                                    "error": f"generation failed: {e2}"}
     return [r for r in responses if r is not None]
 
 
@@ -133,18 +151,23 @@ def run(input_path: Path, output_path: Path, backend: VLMBackend,
     while True:
         lines: List[str] = []
         if input_path.exists():
-            with input_path.open(encoding="utf-8") as f:
+            # binary read + byte offsets: text-mode newline translation
+            # would make the offset bookkeeping undercount CRLF files,
+            # and str.splitlines() would split on U+2028/U+2029, which
+            # are legal unescaped inside JSON strings
+            with input_path.open("rb") as f:
                 f.seek(offset)
                 chunk = f.read()
             # a --follow poll can catch a line mid-write: consume only
             # newline-terminated lines, leave the partial tail for the
             # next poll (one-shot mode reads the file after the writer
             # is done, so a missing final newline is a complete line)
-            if follow and chunk and not chunk.endswith("\n"):
-                cut = chunk.rfind("\n") + 1
+            if follow and chunk and not chunk.endswith(b"\n"):
+                cut = chunk.rfind(b"\n") + 1
                 chunk = chunk[:cut]
-            offset += len(chunk.encode("utf-8"))
-            lines = chunk.splitlines()
+            offset += len(chunk)
+            lines = [raw.decode("utf-8", errors="replace")
+                     for raw in chunk.split(b"\n")]
         requests, errors, shutdown = [], [], False
         for line in lines:
             lineno += 1

@@ -749,6 +749,49 @@ def compute_mrope_position_ids(input_ids: np.ndarray,
 SAMPLE_TOP_K = 50
 
 
+def sample_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,
+                top_p: jnp.ndarray) -> jnp.ndarray:
+    """Per-row temperature/top-k(50)/top-p sampling over (B, vocab)
+    logits with per-row PRNG keys (B, 2); rows with temp <= 0 take the
+    raw argmax (exactly the greedy path).  The ONE sampler shared by
+    Qwen3VLGenerator and the continuous batcher — their parity
+    contracts depend on the math living in a single place."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)[:, None]
+    k = min(SAMPLE_TOP_K, scaled.shape[-1])
+    vals, idx = jax.lax.top_k(scaled, k)  # descending
+    # nucleus filter: keep the smallest prefix of the sorted
+    # distribution with cumulative mass >= top_p (always >= 1 kept;
+    # top_p >= 1 keeps everything)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.sum(cum - probs < top_p[:, None], axis=-1)
+    cutoff = jnp.take_along_axis(vals, keep[:, None] - 1, axis=-1)
+    filtered = jnp.where(vals < cutoff, -jnp.inf, vals)
+    choice = jax.vmap(jax.random.categorical)(keys, filtered)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(temp <= 0, greedy, sampled.astype(jnp.int32))
+
+
+def empty_kv_cache(text_cfg, batch: int, max_len: int, kv_dtype: str):
+    """Static KV cache for scan decode — the ONE allocator shared by
+    the plain/speculative generators and the continuous batcher (the
+    tuple layout must match quantize_kv / cache_write everywhere)."""
+    kv_shape = (batch, max_len, text_cfg.num_kv_heads, text_cfg.head_dim)
+    if kv_dtype == "int8":
+        # s8 values + per-(b, pos, head) f32 scales (quantize_kv):
+        # halves KV residency/stream vs bf16
+        return [
+            (jnp.zeros(kv_shape, jnp.int8),
+             jnp.zeros(kv_shape[:3], jnp.float32),
+             jnp.zeros(kv_shape, jnp.int8),
+             jnp.zeros(kv_shape[:3], jnp.float32))
+            for _ in range(text_cfg.num_layers)]
+    return [(jnp.zeros(kv_shape, text_cfg.dtype),
+             jnp.zeros(kv_shape, text_cfg.dtype))
+            for _ in range(text_cfg.num_layers)]
+
+
 class Qwen3VLGenerator:
     """Prefill + scan-decode greedy/sampled generation over a static
     KV cache.  One compile per (prompt bucket, max_new_tokens)."""
@@ -766,45 +809,21 @@ class Qwen3VLGenerator:
         self._jitted: Dict = {}
 
     def _empty_cache(self, batch: int, max_len: int):
-        cfg = self.config.text
-        kv_shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-        if self.kv_dtype == "int8":
-            # s8 values + per-(b, pos, head) f32 scales (quantize_kv):
-            # halves KV residency/stream vs bf16
-            return [
-                (jnp.zeros(kv_shape, jnp.int8),
-                 jnp.zeros(kv_shape[:3], jnp.float32),
-                 jnp.zeros(kv_shape, jnp.int8),
-                 jnp.zeros(kv_shape[:3], jnp.float32))
-                for _ in range(cfg.num_layers)]
-        return [(jnp.zeros(kv_shape, cfg.dtype),
-                 jnp.zeros(kv_shape, cfg.dtype))
-                for _ in range(cfg.num_layers)]
+        return empty_kv_cache(self.config.text, batch, max_len,
+                              self.kv_dtype)
 
     def _sampler(self, temperature: float, top_p: float):
         def sample(logits_last, key):
             if temperature <= 0:
                 return jnp.argmax(logits_last, axis=-1)
-            scaled = logits_last.astype(jnp.float32) / temperature
-            # top-k prefilter (k=50): the HF GenerationConfig default
-            # the reference inherits through model.generate
-            # (llms/qwen3_llm.py:104-115 never sets top_k), and the
-            # TPU-efficient form — one O(V) lax.top_k pass instead of a
-            # full vocab sort; the nucleus math then runs on k logits.
-            k = min(SAMPLE_TOP_K, scaled.shape[-1])
-            vals, idx = jax.lax.top_k(scaled, k)  # descending
-            if top_p < 1.0:
-                # nucleus filter: keep the smallest prefix of the
-                # sorted distribution with cumulative mass >= top_p
-                probs = jax.nn.softmax(vals, axis=-1)
-                cum = jnp.cumsum(probs, axis=-1)
-                # number of tokens kept per row (always >= 1)
-                keep = jnp.sum(cum - probs < top_p, axis=-1)
-                cutoff = jnp.take_along_axis(
-                    vals, keep[:, None] - 1, axis=-1)
-                vals = jnp.where(vals < cutoff, -jnp.inf, vals)
-            choice = jax.random.categorical(key, vals, axis=-1)
-            return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+            # delegate to the shared per-row sampler (top-k=50 prefilter
+            # + nucleus) with the scalar config broadcast per row
+            B = logits_last.shape[0]
+            keys = jax.random.split(key, B)
+            return sample_rows(
+                logits_last, keys,
+                jnp.full((B,), temperature, jnp.float32),
+                jnp.full((B,), top_p, jnp.float32))
 
         return sample
 

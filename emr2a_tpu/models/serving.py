@@ -39,33 +39,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from emr2a_tpu.models.qwen3_vl import (
-    SAMPLE_TOP_K,
     Qwen3VLModel,
     compute_mrope_position_ids,
+    empty_kv_cache,
+    sample_rows,
 )
-
-
-def sample_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,
-                top_p: jnp.ndarray) -> jnp.ndarray:
-    """Per-row temperature/top-k-top-p sampling over (B, vocab) logits;
-    rows with temp <= 0 take the raw argmax (exactly the greedy path).
-    Vectorized so one compiled program serves slots with mixed
-    temperatures (the VLM-direct multi-temperature protocol).  Same
-    top-k=50 prefilter as Qwen3VLGenerator._sampler (the HF default
-    the reference inherits; also one lax.top_k pass instead of a full
-    vocab sort per step)."""
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)[:, None]
-    k = min(SAMPLE_TOP_K, scaled.shape[-1])
-    vals, idx = jax.lax.top_k(scaled, k)  # descending
-    probs = jax.nn.softmax(vals, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep = jnp.sum(cum - probs < top_p[:, None], axis=-1)  # >= 1 kept
-    cutoff = jnp.take_along_axis(vals, keep[:, None] - 1, axis=-1)
-    filtered = jnp.where(vals < cutoff, -jnp.inf, vals)
-    choice = jax.vmap(jax.random.categorical)(keys, filtered)
-    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
-    return jnp.where(temp <= 0, greedy, sampled.astype(jnp.int32))
 
 
 class ContinuousBatcher:
@@ -106,21 +84,10 @@ class ContinuousBatcher:
 
     # -- device state -------------------------------------------------------
 
-    def _empty_layer_cache(self, batch: int):
-        cfg = self.config.text
-        kv_shape = (batch, self.max_len, cfg.num_kv_heads, cfg.head_dim)
-        if self.kv_dtype == "int8":
-            return (jnp.zeros(kv_shape, jnp.int8),
-                    jnp.zeros(kv_shape[:3], jnp.float32),
-                    jnp.zeros(kv_shape, jnp.int8),
-                    jnp.zeros(kv_shape[:3], jnp.float32))
-        return (jnp.zeros(kv_shape, cfg.dtype),
-                jnp.zeros(kv_shape, cfg.dtype))
-
     def _init_state(self):
         B = self.n_slots
-        cfg = self.config.text
-        cache = [self._empty_layer_cache(B) for _ in range(cfg.num_layers)]
+        cache = empty_kv_cache(self.config.text, B, self.max_len,
+                               self.kv_dtype)
         return {
             "cache": cache,
             "cur": jnp.full((B,), self.eos_token_id, jnp.int32),
@@ -139,8 +106,8 @@ class ContinuousBatcher:
         P, max_len = self.prompt_bucket, self.max_len
 
         def run(params, input_ids, position_ids, true_len, pixel_patches):
-            cache = [self._empty_layer_cache(1)
-                     for _ in range(self.config.text.num_layers)]
+            cache = empty_kv_cache(self.config.text, 1, max_len,
+                                   self.kv_dtype)
             q_idx = jnp.arange(P)[None, :, None]
             k_idx = jnp.arange(max_len)[None, None, :]
             mask = jnp.where(
@@ -184,7 +151,10 @@ class ContinuousBatcher:
                 "top_p": state["top_p"].at[slot].set(top_p),
             }
 
-        return jax.jit(run)
+        # donate the old state (and the consumed 1-slot prefill cache):
+        # the update aliases in place instead of doubling the multi-GiB
+        # slot KV residency per insert
+        return jax.jit(run, donate_argnums=(0, 1))
 
     def _build_chunk(self, sampling: bool):
         """One chunk program per mode: the pure-greedy variant skips
@@ -231,7 +201,9 @@ class ContinuousBatcher:
                          "temp": temp, "top_p": top_p}
             return new_state, toks.swapaxes(0, 1)  # (B, chunk)
 
-        return jax.jit(run)
+        # donate the state: the chunk updates the KV cache in place
+        # instead of allocating a second multi-GiB copy per chunk
+        return jax.jit(run, donate_argnums=(1,))
 
     # -- host scheduler ------------------------------------------------------
 
@@ -317,31 +289,34 @@ class ContinuousBatcher:
                     slot_req[s] = r
                     active[s] = True
 
-        refill()
-        while any(r is not None for r in slot_req):
-            self._state, toks = chunk_fn(
-                self.params, self._state, jnp.asarray(active))
-            toks = np.asarray(toks)  # (n_slots, chunk)
-            for s in range(self.n_slots):
-                r = slot_req[s]
-                if r is None:
-                    continue
-                for t in toks[s]:
-                    t = int(t)
-                    emitted[r].append(t)
-                    if t == self.eos_token_id or len(emitted[r]) >= budgets[r]:
-                        done[r] = True
-                        break
-                if done[r]:
-                    slot_req[s] = None
-                    active[s] = False
+        try:
             refill()
-
-        # Release the slot state (KV caches — multi-GiB at 8B) between
-        # waves: a long-lived backend keeps one batcher per prompt
-        # bucket, and drained batchers must not pin HBM.  Compiled
-        # programs stay cached; the next serve() re-zeros the state.
-        self._state = None
+            while any(r is not None for r in slot_req):
+                self._state, toks = chunk_fn(
+                    self.params, self._state, jnp.asarray(active))
+                toks = np.asarray(toks)  # (n_slots, chunk)
+                for s in range(self.n_slots):
+                    r = slot_req[s]
+                    if r is None:
+                        continue
+                    for t in toks[s]:
+                        t = int(t)
+                        emitted[r].append(t)
+                        if (t == self.eos_token_id
+                                or len(emitted[r]) >= budgets[r]):
+                            done[r] = True
+                            break
+                    if done[r]:
+                        slot_req[s] = None
+                        active[s] = False
+                refill()
+        finally:
+            # Release the slot state (KV caches — multi-GiB at 8B)
+            # between waves, on failure too: a long-lived backend keeps
+            # one batcher per prompt bucket, and drained batchers must
+            # not pin HBM.  Compiled programs stay cached; the next
+            # serve() re-zeros the state.
+            self._state = None
 
         out = []
         for r, toks_r in enumerate(emitted):

@@ -74,16 +74,8 @@ class SpeculativeGenerator:
     # -- cache helpers ----------------------------------------------------
 
     def _empty_cache(self, cfg, max_len: int):
-        kv_shape = (1, max_len, cfg.num_kv_heads, cfg.head_dim)
-        if self.kv_dtype == "int8":
-            return [(jnp.zeros(kv_shape, jnp.int8),
-                     jnp.zeros(kv_shape[:3], jnp.float32),
-                     jnp.zeros(kv_shape, jnp.int8),
-                     jnp.zeros(kv_shape[:3], jnp.float32))
-                    for _ in range(cfg.num_layers)]
-        return [(jnp.zeros(kv_shape, cfg.dtype),
-                 jnp.zeros(kv_shape, cfg.dtype))
-                for _ in range(cfg.num_layers)]
+        from emr2a_tpu.models.qwen3_vl import empty_kv_cache
+        return empty_kv_cache(cfg, 1, max_len, self.kv_dtype)
 
     # -- compiled program --------------------------------------------------
 
