@@ -235,7 +235,8 @@ class VLMAuditModule:
 
     def query_vlm_audit(self, evidence_package: Dict, predicted_label: str,
                         prompt_template: Optional[str] = None,
-                        temperature: float = 0.0) -> Optional[Dict]:
+                        temperature: float = 0.0,
+                        max_new_tokens: int = 1024) -> Optional[Dict]:
         if self.backend is None:
             logger.warning("VLM backend not loaded")
             return None
@@ -246,7 +247,7 @@ class VLMAuditModule:
                 return None
             output_text = self.backend.generate(
                 request["images"], request["prompt"],
-                max_new_tokens=1024, temperature=temperature)
+                max_new_tokens=max_new_tokens, temperature=temperature)
 
             result = parse_audit_output(output_text)
             if result and request["cited_neighbors"]:
@@ -277,7 +278,8 @@ class VLMAuditModule:
                     base_dir: Optional[Path] = None,
                     prompt_template: Optional[str] = None,
                     vlm_batch_size: int = 1,
-                    serving: str = "static") -> Dict:
+                    serving: str = "static",
+                    max_new_tokens: int = 1024) -> Dict:
         """``vlm_batch_size > 1`` serves that many audit cases per
         prefill+decode through the backend's ``generate_batch`` (decode
         is weight-bandwidth-bound, so N cases cost ~1x decode wall time
@@ -322,7 +324,8 @@ class VLMAuditModule:
                             len(live), vlm_batch_size)
                 try:
                     outputs = self.backend.generate_stream(
-                        [requests[i] for i in live], max_new_tokens=1024,
+                        [requests[i] for i in live],
+                        max_new_tokens=max_new_tokens,
                         n_slots=vlm_batch_size)
                     for i, output_text in zip(live, outputs):
                         if output_text is None:
@@ -342,7 +345,8 @@ class VLMAuditModule:
                             [i + 1 for i in chunk])
                 try:
                     outputs = self.backend.generate_batch(
-                        [requests[i] for i in chunk], max_new_tokens=1024)
+                        [requests[i] for i in chunk],
+                        max_new_tokens=max_new_tokens)
                 except Exception as e:
                     logger.error("Batched VLM query failed, falling back "
                                  "to per-item: %s", e)
@@ -351,7 +355,7 @@ class VLMAuditModule:
                         try:
                             outputs.append(self.backend.generate(
                                 requests[i]["images"], requests[i]["prompt"],
-                                max_new_tokens=1024))
+                                max_new_tokens=max_new_tokens))
                         except Exception as e2:
                             logger.error("VLM query failed: %s", e2)
                             outputs.append(None)

@@ -84,7 +84,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            kv_dtype: str = "bf16",
                            draft_model_path: Optional[str] = None,
                            vlm_batch_size: int = 1,
-                           serving: str = "static") -> Dict:
+                           serving: str = "static",
+                           vlm_max_new_tokens: int = 1024) -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
 
@@ -173,7 +174,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
         top_neighbors_list=top_neighbors_list,
         manifest=manifest, output_dir=audit_output_dir,
         base_dir=Path("."), prompt_template=prompt_template,
-        vlm_batch_size=vlm_batch_size, serving=serving)
+        vlm_batch_size=vlm_batch_size, serving=serving,
+        max_new_tokens=vlm_max_new_tokens)
 
     ground_truth = [p.get("label") for p in query_patients]
     final_results = audit_module.compute_final_predictions(
@@ -296,6 +298,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(--vlm_batch_size slots) that refills "
                              "finished slots mid-run, so mixed output "
                              "lengths don't wait on the slowest case")
+    parser.add_argument("--vlm_max_new_tokens", type=int, default=1024,
+                        help="judge generation budget per audit case "
+                             "(the reference generates 1024, "
+                             "vlm_audit_module.py:339-343)")
     parser.add_argument("--vlm_batch_size", type=int, default=1,
                         help="audit cases served per prefill+decode; "
                         "decode is weight-bandwidth-bound so N cases "
@@ -326,6 +332,7 @@ def main(argv=None) -> None:
         precision=args.precision, kv_dtype=args.kv_cache,
         draft_model_path=args.draft_model,
         vlm_batch_size=args.vlm_batch_size, serving=args.serving,
+        vlm_max_new_tokens=args.vlm_max_new_tokens,
         accept_threshold=args.accept_threshold,
         reject_threshold=args.reject_threshold,
         abstain_threshold=args.abstain_threshold,
