@@ -194,7 +194,8 @@ def main():
     ap.add_argument("--what", default="all", help="comma list: text,vision")
     ap.add_argument("--precision", default="bf16",
                     choices=["bf16", "int8", "int4"])
-    ap.add_argument("--geometry", default="2b", choices=["2b", "8b"])
+    ap.add_argument("--geometry", default="2b",
+                choices=["tiny", "2b", "8b"])
     ap.add_argument("--json_out", default=None,
                     help="append one JSON line per metric here")
     ap.add_argument("--lm_head", default="bf16", choices=["int8", "bf16"],
@@ -210,6 +211,10 @@ def main():
                     help="KV-cache precision (int8 halves KV "
                          "residency/stream; scales folded into the "
                          "attention math)")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="decode sampling temperature (0 = greedy); "
+                         ">0 measures the top-k=50/top-p sampler's "
+                         "per-step cost at the real 151,936 vocab")
     ap.add_argument("--batch", type=int, default=1,
                     help="audit cases served per prefill+decode "
                          "(heterogeneous prompt lengths, per-row "
@@ -231,6 +236,8 @@ def main():
             rec["fused_projs"] = True
         if args.batch > 1:
             rec["batch"] = args.batch
+        if args.temperature > 0:
+            rec["temperature"] = args.temperature
         if args.kv != "bf16":
             rec["kv"] = args.kv
         records.append(rec)
@@ -297,27 +304,33 @@ def main():
                                kv_dtype=args.kv)
         rng = np.random.RandomState(0)
         B = args.batch
-        prompt = rng.randint(2, 150_000, (B, 980), np.int64)
+        vocab_hi = cfg.text.vocab_size - 2
+        plen = 24 if args.geometry == "tiny" else 980
+        prompt = rng.randint(2, vocab_hi, (B, plen), np.int64)
         # heterogeneous rows: the batched audit path pads shorter
         # prompts to the shared bucket with per-row true_lens
         true_lens = (None if B == 1 else
-                     np.asarray([980 - 64 * (b % 4) for b in range(B)],
-                                np.int32))
+                     np.asarray([plen - (plen // 16) * (b % 4)
+                                 for b in range(B)], np.int32))
 
+        bucket = 32 if args.geometry == "tiny" else 1024
         times = {}
-        for max_new in (32, 96):
+        for max_new in ((8, 24) if args.geometry == "tiny" else (32, 96)):
             t0 = time.time()
-            gen.generate(prompt, max_new_tokens=max_new, prompt_bucket=1024,
-                         true_lens=true_lens)
+            gen.generate(prompt, max_new_tokens=max_new, prompt_bucket=bucket,
+                         true_lens=true_lens, temperature=args.temperature,
+                         top_p=0.9 if args.temperature > 0 else 1.0)
             print(f"compile+run max_new={max_new}: {time.time()-t0:.1f}s",
                   flush=True)
             times[max_new] = measure(
-                lambda mn=max_new: gen.generate(prompt, max_new_tokens=mn,
-                                                prompt_bucket=1024,
-                                                true_lens=true_lens))
-        per_tok = (times[96] - times[32]) / 64
-        prefill = times[32] - 32 * per_tok
-        print(f"prefill @ bucket 1024 (980 real tokens, B={B}): "
+                lambda mn=max_new: gen.generate(
+                    prompt, max_new_tokens=mn, prompt_bucket=bucket,
+                    true_lens=true_lens, temperature=args.temperature,
+                    top_p=0.9 if args.temperature > 0 else 1.0))
+        lo, hi = (8, 24) if args.geometry == "tiny" else (32, 96)
+        per_tok = (times[hi] - times[lo]) / (hi - lo)
+        prefill = times[lo] - lo * per_tok
+        print(f"prefill @ bucket {bucket} ({plen} real tokens, B={B}): "
               f"{prefill*1000:.1f} ms")
         print(f"decode: {per_tok*1000:.2f} ms/step = {1/per_tok:.1f} steps/s"
               f" = {B/per_tok:.1f} tok/s aggregate")
