@@ -183,8 +183,13 @@ def run(input_path: Path, output_path: Path, backend: VLMBackend,
             t0 = time.time()
             responses = errors + serve_wave(backend, requests,
                                             max_new_tokens, n_slots)
+            wave_s = round(time.time() - t0, 3)
             with output_path.open("a", encoding="utf-8") as f:
                 for resp in responses:
+                    # wave-level observability: how long this wave took
+                    # and how many requests shared it
+                    resp.setdefault("wave_s", wave_s)
+                    resp.setdefault("wave_size", len(requests))
                     f.write(json.dumps(resp, ensure_ascii=False) + "\n")
             served += len(requests)
             logger.info("Served %d requests (%d failed) in %.2fs "
