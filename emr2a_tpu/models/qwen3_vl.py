@@ -179,7 +179,6 @@ def interpolated_pos_embed_indices(grid_thw: Sequence[Tuple[int, int, int]],
     (matches fast_pos_embed_interpolate)."""
     idx_list = [[] for _ in range(4)]
     w_list = [[] for _ in range(4)]
-    per_image_hw = []
     for t, h, w in grid_thw:
         h_idxs = np.linspace(0, num_grid_per_side - 1, h, dtype=np.float32)
         w_idxs = np.linspace(0, num_grid_per_side - 1, w, dtype=np.float32)
@@ -206,7 +205,6 @@ def interpolated_pos_embed_indices(grid_thw: Sequence[Tuple[int, int, int]],
         for i in range(4):
             idx_list[i].append(indices[i])
             w_list[i].append(weights[i])
-        per_image_hw.append((t, h, w))
     idx = np.stack([np.concatenate(x) for x in idx_list])
     wts = np.stack([np.concatenate(x) for x in w_list]).astype(np.float32)
     return idx, wts
@@ -472,7 +470,7 @@ class QwenTextDecoderLayer(nn.Module):
 
         q, k = apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
-        k_scale = v_scale = None  # (B, L, KV) f32 when the KV cache is s8
+        kq_scale = vq_scale = None  # (B, L, KV) f32, s8-KV quant scales
         if cache_kv is not None and len(cache_kv) == 4:
             # int8 KV cache: quantize the fresh rows at write time and
             # keep the cache s8 end-to-end (scales folded in below).
@@ -484,7 +482,7 @@ class QwenTextDecoderLayer(nn.Module):
             cv = cache_write(cv, v_q, cache_pos)
             cvs = cache_write(cvs, v_s, cache_pos)
             k_all, v_all = ck, cv
-            k_scale, v_scale = cks, cvs
+            kq_scale, vq_scale = cks, cvs
             new_cache = (ck, cks, cv, cvs)
         elif cache_kv is not None:
             ck, cv = cache_kv
@@ -511,13 +509,13 @@ class QwenTextDecoderLayer(nn.Module):
             logits = jnp.einsum(
                 "bqkgd,blkd->bkgql", q_g, k_all,
                 preferred_element_type=jnp.float32) * hd ** -0.5
-            if k_scale is not None:  # fold s8-cache K scales in
-                logits = logits * k_scale.transpose(0, 2, 1)[:, :, None,
+            if kq_scale is not None:  # fold s8-cache K scales in
+                logits = logits * kq_scale.transpose(0, 2, 1)[:, :, None,
                                                              None, :]
             logits = logits + attn_mask[:, None, None, :, :]
             probs = jax.nn.softmax(logits, axis=-1)
-            if v_scale is not None:  # fold V scales into the probs
-                probs = probs * v_scale.transpose(0, 2, 1)[:, :, None,
+            if vq_scale is not None:  # fold V scales into the probs
+                probs = probs * vq_scale.transpose(0, 2, 1)[:, :, None,
                                                            None, :]
             probs = probs.astype(cfg.dtype)
             attn = jnp.einsum("bkgql,blkd->bqkgd", probs, v_all)
@@ -527,13 +525,13 @@ class QwenTextDecoderLayer(nn.Module):
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_rep,
                 preferred_element_type=jnp.float32) * hd ** -0.5
-            if k_scale is not None:
-                ks_rep = jnp.repeat(k_scale, groups, axis=2)
+            if kq_scale is not None:
+                ks_rep = jnp.repeat(kq_scale, groups, axis=2)
                 logits = logits * ks_rep.transpose(0, 2, 1)[:, :, None, :]
             logits = logits + attn_mask[:, None, :, :]
             probs = jax.nn.softmax(logits, axis=-1)
-            if v_scale is not None:
-                vs_rep = jnp.repeat(v_scale, groups, axis=2)
+            if vq_scale is not None:
+                vs_rep = jnp.repeat(vq_scale, groups, axis=2)
                 probs = probs * vs_rep.transpose(0, 2, 1)[:, :, None, :]
             probs = probs.astype(cfg.dtype)
             attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
@@ -938,7 +936,9 @@ class Qwen3VLGenerator:
             all_done = jnp.all(done | (token == self.eos_token_id))
             return carry, tokens.swapaxes(0, 1), all_done
 
-        return jax.jit(prefill), jax.jit(decode_chunk)
+        # donate the carry: the chunk updates the KV cache in place
+        # instead of double-buffering it at every chunk boundary
+        return jax.jit(prefill), jax.jit(decode_chunk, donate_argnums=(1,))
 
     def generate(self, input_ids: np.ndarray,
                  pixel_patches: Optional[np.ndarray] = None,

@@ -231,12 +231,17 @@ class ShardedEmbeddingDatabase:
             raise ValueError("len(labels) must equal the number of new rows")
         if ids is not None and len(ids) != new.shape[0]:
             raise ValueError("len(ids) must equal the number of new rows")
+        if new.shape[1] != self.dim:
+            raise ValueError(
+                f"new embeddings must be {self.dim}-dim, got {new.shape[1]}")
+        start = self._host_emb.shape[0]
+        # host concatenate BEFORE mutating labels/ids: a failure here
+        # must not leave metadata misaligned with the rows
+        self._host_emb = np.concatenate([self._host_emb, new], axis=0)
         if labels is not None:
             self.labels.extend(labels)
         if ids is not None:
             self.ids.extend(ids)
-        start = self._host_emb.shape[0]
-        self._host_emb = np.concatenate([self._host_emb, new], axis=0)
         total_padded = self.shard_size * self.mesh.shape[DATA_AXIS]
         if start + new.shape[0] <= total_padded:
             # fits in reserved capacity: in-place sharded row update,
