@@ -69,6 +69,13 @@ def test_add_cases_and_persistence(mesh8, rng, tmp_path):
     assert hits[0][0]["patient_id"] == "x3"
     assert hits[0][0]["score"] == pytest.approx(1.0, abs=1e-4)
 
+    # a failed append (wrong width) must not touch rows OR metadata —
+    # a half-applied add would silently misalign labels with rows
+    with pytest.raises(ValueError, match="dim"):
+        sdb.add_cases(rng.randn(2, 8).astype(np.float32),
+                      labels=["LZ"] * 2, ids=["z0", "z1"])
+    assert sdb.n == 27 and len(sdb.labels) == 27 and len(sdb.ids) == 27
+
     path = tmp_path / "db.npz"
     sdb.save(path)
     loaded = ShardedEmbeddingDatabase.load(path, mesh=mesh8)
