@@ -36,6 +36,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from emr2a_tpu.ops.quant import quantize_rows_s8
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,7 +58,12 @@ def fused_attn_vmem_bytes(d: int, S: int, num_heads: int, head_group: int,
                           weight_itemsize: int = None) -> int:
     """VMEM estimate for one grid step: 4 d×d weight copies, k/v
     pad scratch, the double-buffered in/out batch tiles, and the f32
-    logits scratch."""
+    logits scratch.
+
+    Models ``merge_batch=False`` only — the merged variant allocates
+    ~block_b x the kv/logits scratch plus an extra (block_b*sq, d)
+    attn buffer and is experiment-only
+    (scripts/exp_layer_breakdown.py); gate merged configs by hand."""
     sq = -(-S // 8) * 8
     sp = -(-sq // 128) * 128
     hg = _divisor_at_most(num_heads, head_group)
@@ -344,10 +351,7 @@ def fused_ln_attention(x: jax.Array, ln_scale, ln_bias, wq, bq, wk, bk,
 
 
 def _quantize_rows_i8(h):
-    a = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    scale = jnp.maximum(a, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    return quantize_rows_s8(h)
 
 
 def _attn_block_kernel_i8(x_ref, wq_hbm, wk_hbm, wv_hbm, wo_hbm,

@@ -28,6 +28,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from emr2a_tpu.ops.quant import quantize_rows_s8
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -71,11 +73,7 @@ def _unpack_nibbles(wp):
 
 
 def _quantize_tile(x_ref):
-    xf = x_ref[:, :].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xf * (1.0 / xs)), -127, 127).astype(jnp.int8)
-    return xq, xs
+    return quantize_rows_s8(x_ref[:, :])
 
 
 def _w4_dot(xq, xs, w_ref, ws_ref, b_ref, o_ref, *,
@@ -139,15 +137,17 @@ def _pick_tiles_w4(tp: int, K: int, N: int, tile_n_max: int,
                      + tile_t * tile_n * out_itemsize)
                 + 6 * tile_t * K + 4 * tile_t * tile_n + 16 * tile_n)
 
+    from emr2a_tpu.ops.linear_int8 import _halve
+
     np128 = -(-N // 128) * 128
     tile_n = min(np128, tile_n_max)
     tile_t = min(tp, 1024)
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 256:
-        tile_t //= 2
+        tile_t = _halve(tile_t, 32)
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
-        tile_n //= 2
+        tile_n = _halve(tile_n, 128)
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 32:
-        tile_t //= 2
+        tile_t = _halve(tile_t, 32)
     return tile_t, tile_n
 
 

@@ -28,6 +28,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from emr2a_tpu.ops.quant import quantize_rows_s8
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,22 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 def quantize_rows(x: jax.Array):
     """(T, K) float -> ((T, K) int8, (T, 1) f32 scales).
 
-    The XLA-side quantize pass of the large-T path (the kernel fuses
-    the same math in VMEM for the serving path).
-    """
-    xf = x.astype(jnp.float32)
-    a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(a, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    The XLA-side quantize pass of the large-T path; the kernels fuse
+    the SAME function (ops/quant.quantize_rows_s8) in VMEM for the
+    serving path, so both paths emit identical codes."""
+    return quantize_rows_s8(x)
 
 
 def _quantize_tile(x_ref):
-    xf = x_ref[:, :].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xf * (1.0 / xs)), -127, 127).astype(jnp.int8)
-    return xq, xs
+    return quantize_rows_s8(x_ref[:, :])
 
 
 def _s8_dot(xq, xs, w_ref, ws_ref, b_ref, o_ref, *, out_dtype):
@@ -89,13 +83,22 @@ def _kernel_s8(xq_ref, xs_ref, w_ref, ws_ref, b_ref, o_ref, *, out_dtype):
 _VMEM_BUDGET = 12 * 2**20  # conservative vs the 16 MiB scoped limit
 
 
+def _halve(tile: int, align: int) -> int:
+    """Halve, then round back UP to the alignment the kernel contract
+    requires (int8 sublane 32 for rows, lane 128 for columns): plain
+    halving of a non-power-of-two start (e.g. a 1504-row prompt tile)
+    emits misaligned tiles that Mosaic rejects.  Strictly decreasing
+    for any aligned tile > align."""
+    return max(align, -(-(tile // 2) // align) * align)
+
+
 def _shrink(vmem, tile_t, tile_n):
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 256:
-        tile_t //= 2
+        tile_t = _halve(tile_t, 32)
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
-        tile_n //= 2
+        tile_n = _halve(tile_n, 128)
     while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 32:
-        tile_t //= 2
+        tile_t = _halve(tile_t, 32)
     return tile_t, tile_n
 
 
@@ -133,7 +136,7 @@ def _pick_tiles(tp: int, K: int, N: int, tile_n_max: int,
         # applies; shrink columns first
         tile_t, tile_n = tp, tn0
         while vmem_fused(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
-            tile_n //= 2
+            tile_n = _halve(tile_n, 128)
         if vmem_fused(tile_t, tile_n) <= _VMEM_BUDGET:
             return tile_t, tile_n, True
     tile_t, tile_n = _shrink(vmem_s8, min(tp, 2048), tn0)

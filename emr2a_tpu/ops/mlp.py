@@ -19,6 +19,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from emr2a_tpu.ops.quant import quantize_rows_s8
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -143,10 +145,7 @@ def quantize_weight_int8(w) -> tuple:
 
 def _quantize_rows(h):
     """f32 (rows, cols) -> (int8 values, (rows, 1) f32 scales)."""
-    a = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    scale = jnp.maximum(a, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    return quantize_rows_s8(h)
 
 
 def _mlp_kernel_int8(x_ref, w1_hbm, s1_ref, b1_ref, w2_hbm, s2_ref, b2_ref,

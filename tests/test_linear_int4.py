@@ -144,3 +144,15 @@ def test_pick_tiles_w4_respects_budget():
                      + tile_t * tile_n * 2)
                 + 5 * tile_t * K + 4 * tile_t * tile_n + 16 * tile_n)
         assert used <= _VMEM_BUDGET, (tp, K, N, tile_t, tile_n, used)
+
+
+def test_pick_tiles_w4_alignment_non_pow2():
+    """Same alignment contract as linear_int8._pick_tiles: halving from
+    non-power-of-two starts must stay 32/128-aligned."""
+    from emr2a_tpu.ops.linear_int4 import _pick_tiles_w4
+
+    for tp, K, N in [(1504, 4096, 12288), (1024, 4096, 1920),
+                     (992, 8192, 12288)]:
+        tile_t, tile_n = _pick_tiles_w4(tp, K, N, 2048, 2, 2)
+        assert tile_t % 32 == 0 and tile_t >= 32, (tp, K, N, tile_t)
+        assert tile_n % 128 == 0 and tile_n >= 128, (tp, K, N, tile_n)

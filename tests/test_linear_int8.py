@@ -109,3 +109,21 @@ def test_pick_tiles_respects_budget():
     # decode keeps one row tile (weights stream exactly once) on the
     # fused path (quantize cached in-kernel, no separate XLA pass)
     assert _pick_tiles(32, 6144, 4096, 2048, 2, 2)[::2] == (32, True)
+
+
+def test_pick_tiles_alignment_non_pow2():
+    """Shrinking from non-power-of-two starts must keep row tiles
+    32-aligned (int8 sublane) and column tiles 128-aligned (lane):
+    plain halving of a 1504-row prompt tile emitted 188/940-style
+    tiles Mosaic rejects."""
+    from emr2a_tpu.ops.linear_int8 import _VMEM_BUDGET, _pick_tiles
+
+    for tp, K, N in [(1504, 4096, 12288), (2048, 4096, 1920),
+                     (992, 8192, 12288), (32, 4096, 151936)]:
+        tile_t, tile_n, fused = _pick_tiles(tp, K, N, 2048, 2, 2)
+        assert tile_t % 32 == 0 and tile_t >= 32, (tp, K, N, tile_t)
+        assert tile_n % 128 == 0 and tile_n >= 128, (tp, K, N, tile_n)
+        if not fused:
+            vmem = (2 * (tile_t * K + K * tile_n + tile_t * tile_n * 2)
+                    + 12 * tile_n + 8 * tile_t)
+            assert vmem <= _VMEM_BUDGET
