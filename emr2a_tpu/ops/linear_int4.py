@@ -13,6 +13,11 @@ scaling measurably degrades real LLM weights).  Packing puts rows
 unpacks into two contiguous row-blocks and the matmul stays two plain
 depth-``group/2`` dots per group — no interleave shuffles on the VPU.
 
+Dual path like linear_int8: serving shapes (T fits one row tile)
+quantize in-kernel with the scratch cache; large-T prefill/encoder
+shapes stream pre-quantized s8 activations (1 byte/elem, no quantize
+temporaries) so tiles stay big.
+
 Serving-only (no VJP).  Used by the Qwen decoder projections via
 ``models/quantize.quantize_qwen_text_params(precision="int4")``;
 matches the serving role of the reference's 8B judge
@@ -97,11 +102,15 @@ def _w4_dot(xq, xs, w_ref, ws_ref, b_ref, o_ref, *,
     o_ref[:, :] = y.astype(out_dtype)
 
 
-def _linear_kernel_w4(x_ref, w_ref, ws_ref, b_ref, o_ref, *,
-                      out_dtype, group: int, n_groups: int):
-    xq, xs = _quantize_tile(x_ref)
-    _w4_dot(xq, xs, w_ref, ws_ref, b_ref, o_ref, out_dtype=out_dtype,
-            group=group, n_groups=n_groups)
+def _linear_kernel_w4_s8(xq_ref, xs_ref, w_ref, ws_ref, b_ref, o_ref, *,
+                         out_dtype, group: int, n_groups: int):
+    # Large-T path: activations arrive pre-quantized (s8 + row scales)
+    # — 1 byte/elem streamed once per column tile and no in-kernel
+    # quantize temporaries, mirroring linear_int8's measured dual-path
+    # design (the fused variant re-streamed 2-byte activations and
+    # paid the quantize stack per row tile at prefill shapes).
+    _w4_dot(xq_ref[:, :], xs_ref[:, :], w_ref, ws_ref, b_ref, o_ref,
+            out_dtype=out_dtype, group=group, n_groups=n_groups)
 
 
 def _linear_kernel_w4_cached(x_ref, w_ref, ws_ref, b_ref, o_ref,
@@ -125,30 +134,40 @@ _VMEM_BUDGET = 12 * 2**20
 
 def _pick_tiles_w4(tp: int, K: int, N: int, tile_n_max: int,
                    out_itemsize: int, in_itemsize: int):
-    """(tile_t, tile_n) under the VMEM budget.
+    """(tile_t, tile_n, fused) under the VMEM budget.
 
-    Same shape model as linear_int8._pick_tiles, with the packed
-    weight block at K/2 bytes per column plus the ~3x unpack
-    temporaries (i16 + two s8 blocks per group, single-buffered).
+    Same dual-path model as linear_int8._pick_tiles, with the packed
+    weight block at K/2 bytes per column plus the unpack temporaries.
+    ``fused`` (in-kernel quantize cached in scratch) only when the
+    whole T fits one row tile — the serving shapes; otherwise the
+    large-T path streams pre-quantized s8 (1 byte/elem, no quantize
+    temporaries), which affords much larger tiles.
     """
-    def vmem(tile_t, tile_n):
-        # 6x tile_t*K: quantize stack temps + the xq scratch cache
+    def vmem_fused(tile_t, tile_n):
+        # 6x tile_t*K: quantize stack temps + the xq scratch cache;
+        # 4x tile_t*tile_n: the f32 group accumulator
         return (2 * (tile_t * K * in_itemsize + K // 2 * tile_n
                      + tile_t * tile_n * out_itemsize)
                 + 6 * tile_t * K + 4 * tile_t * tile_n + 16 * tile_n)
 
-    from emr2a_tpu.ops.linear_int8 import _halve
+    def vmem_s8(tile_t, tile_n):
+        return (2 * (tile_t * K + K // 2 * tile_n
+                     + tile_t * tile_n * out_itemsize)
+                + 4 * tile_t * tile_n + 16 * tile_n + 8 * tile_t)
+
+    from emr2a_tpu.ops.linear_int8 import _halve, _shrink
 
     np128 = -(-N // 128) * 128
-    tile_n = min(np128, tile_n_max)
-    tile_t = min(tp, 1024)
-    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 256:
-        tile_t = _halve(tile_t, 32)
-    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
-        tile_n = _halve(tile_n, 128)
-    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 32:
-        tile_t = _halve(tile_t, 32)
-    return tile_t, tile_n
+    tn0 = min(np128, tile_n_max)
+    if tp <= 1024 and vmem_fused(tp, max(
+            128, tn0 // (2 ** 4))) <= _VMEM_BUDGET:
+        tile_t, tile_n = tp, tn0
+        while vmem_fused(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
+            tile_n = _halve(tile_n, 128)
+        if vmem_fused(tile_t, tile_n) <= _VMEM_BUDGET:
+            return tile_t, tile_n, True
+    tile_t, tile_n = _shrink(vmem_s8, min(tp, 2048), tn0)
+    return tile_t, tile_n, False
 
 
 @functools.partial(jax.jit,
@@ -181,24 +200,36 @@ def linear_w4a8(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
     x2 = x.reshape(T, K)
     in_item = jnp.dtype(x2.dtype).itemsize
     tp32 = -(-T // 32) * 32
-    tile_t, tile_n = _pick_tiles_w4(tp32, K, N, tile_n,
-                                    jnp.dtype(out_dtype).itemsize, in_item)
+    tile_t, tile_n, fused = _pick_tiles_w4(
+        tp32, K, N, tile_n, jnp.dtype(out_dtype).itemsize, in_item)
     tp = -(-T // tile_t) * tile_t
     np_ = -(-N // tile_n) * tile_n
     x2 = jnp.pad(x2, [(0, tp - T), (0, 0)])
     wp = jnp.pad(w_p, [(0, 0), (0, np_ - N)])
     ws = jnp.pad(w_scale, [(0, 0), (0, np_ - N)])
-    operands = [x2, wp, ws]
-    in_specs = [
-        pl.BlockSpec((tile_t, K), lambda i, j: (j, 0),
-                     memory_space=pltpu.VMEM),
+    if fused:
+        operands = [x2]
+        in_specs = [pl.BlockSpec((tile_t, K), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM)]
+        scratch = [pltpu.VMEM((tile_t, K), jnp.int8),
+                   pltpu.VMEM((tile_t, 1), jnp.float32)]
+        base = _linear_kernel_w4_cached
+    else:
+        xq, xs = quantize_rows_s8(x2)
+        operands = [xq, xs]
+        in_specs = [pl.BlockSpec((tile_t, K), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile_t, 1), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM)]
+        scratch = []
+        base = _linear_kernel_w4_s8
+    operands += [wp, ws]
+    in_specs += [
         pl.BlockSpec((K // 2, tile_n), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((n_groups, tile_n), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
     ]
-    cached = tp == tile_t
-    base = _linear_kernel_w4_cached if cached else _linear_kernel_w4
     if bias is not None:
         operands.append(jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
                                 [(0, 0), (0, np_ - N)]))
@@ -206,10 +237,17 @@ def linear_w4a8(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
                                      memory_space=pltpu.VMEM))
         kernel = functools.partial(base, out_dtype=out_dtype,
                                    group=group, n_groups=n_groups)
+    elif fused:
+        kernel = functools.partial(
+            lambda x_ref, w_ref, ws_ref, o_ref, *scratch, **kw:
+            _linear_kernel_w4_cached(x_ref, w_ref, ws_ref, None, o_ref,
+                                     *scratch, **kw),
+            out_dtype=out_dtype, group=group, n_groups=n_groups)
     else:
         kernel = functools.partial(
-            lambda x_ref, w_ref, ws_ref, o_ref, *scratch, _k=base, **kw:
-            _k(x_ref, w_ref, ws_ref, None, o_ref, *scratch, **kw),
+            lambda xq_ref, xs_ref, w_ref, ws_ref, o_ref, **kw:
+            _linear_kernel_w4_s8(xq_ref, xs_ref, w_ref, ws_ref, None,
+                                 o_ref, **kw),
             out_dtype=out_dtype, group=group, n_groups=n_groups)
     out = pl.pallas_call(
         kernel,
@@ -218,13 +256,13 @@ def linear_w4a8(x: jax.Array, w_p: jax.Array, w_scale: jax.Array,
         out_specs=pl.BlockSpec((tile_t, tile_n), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, np_), out_dtype),
-        scratch_shapes=([pltpu.VMEM((tile_t, K), jnp.int8),
-                         pltpu.VMEM((tile_t, 1), jnp.float32)]
-                        if cached else []),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * K * np_,
-            bytes_accessed=K // 2 * np_ + tp * K * in_item + tp * np_,
+            bytes_accessed=(K // 2 * np_
+                            + tp * K * (in_item if fused else 1)
+                            + tp * np_),
             transcendentals=0,
         ),
     )(*operands)

@@ -138,11 +138,16 @@ def test_pick_tiles_w4_respects_budget():
     for tp, K, N in [(32, 4096, 4096), (32, 12288, 4096),
                      (32, 4096, 12288), (1024, 4096, 4096),
                      (32, 4096, 151936)]:          # 8B lm_head
-        tile_t, tile_n = _pick_tiles_w4(tp, K, N, 2048, 2, 2)
+        tile_t, tile_n, fused = _pick_tiles_w4(tp, K, N, 2048, 2, 2)
         assert tile_t >= 32 and tile_n >= 128
-        used = (2 * (tile_t * K * 2 + K // 2 * tile_n
-                     + tile_t * tile_n * 2)
-                + 5 * tile_t * K + 4 * tile_t * tile_n + 16 * tile_n)
+        if fused:
+            used = (2 * (tile_t * K * 2 + K // 2 * tile_n
+                         + tile_t * tile_n * 2)
+                    + 5 * tile_t * K + 4 * tile_t * tile_n + 16 * tile_n)
+        else:
+            used = (2 * (tile_t * K + K // 2 * tile_n
+                         + tile_t * tile_n * 2)
+                    + 4 * tile_t * tile_n + 16 * tile_n + 8 * tile_t)
         assert used <= _VMEM_BUDGET, (tp, K, N, tile_t, tile_n, used)
 
 
@@ -153,6 +158,10 @@ def test_pick_tiles_w4_alignment_non_pow2():
 
     for tp, K, N in [(1504, 4096, 12288), (1024, 4096, 1920),
                      (992, 8192, 12288)]:
-        tile_t, tile_n = _pick_tiles_w4(tp, K, N, 2048, 2, 2)
+        tile_t, tile_n, fused = _pick_tiles_w4(tp, K, N, 2048, 2, 2)
         assert tile_t % 32 == 0 and tile_t >= 32, (tp, K, N, tile_t)
         assert tile_n % 128 == 0 and tile_n >= 128, (tp, K, N, tile_n)
+    # serving shape stays on the fused (in-kernel quantize) path
+    assert _pick_tiles_w4(32, 4096, 4096, 2048, 2, 2)[2] is True
+    # prefill shape takes the pre-quantized s8 path
+    assert _pick_tiles_w4(1504, 4096, 12288, 2048, 2, 2)[2] is False
