@@ -81,11 +81,21 @@ class JitImageTextEncoder(BaseEncoder):
         self._jit_image = None
         self._jit_text = None
         if image_apply is not None:
-            self._jit_image = jax.jit(self._shard_map(self._image_forward, 4))
+            self._jit_image = jax.jit(self._shard_map(self._image_forward))
         if text_apply is not None:
-            self._jit_text = jax.jit(self._shard_map(self._text_forward, 2))
+            self._jit_text = jax.jit(self._shard_map(self._text_forward))
 
-    def _shard_map(self, fn, batch_ndim: int):
+    def _pad_to_bucket(self, batch: np.ndarray) -> np.ndarray:
+        """Zero-pad the leading axis up to its bucket size (one compile
+        per bucket; sharded batches keep dividing the mesh data axis)."""
+        b = self._bucket_for(len(batch))
+        if b > len(batch):
+            batch = np.concatenate(
+                [batch, np.zeros((b - len(batch),) + batch.shape[1:],
+                                 batch.dtype)])
+        return batch
+
+    def _shard_map(self, fn):
         """With a mesh, run the forward as explicit SPMD over the data
         axis: each chip computes its batch shard locally.  Required for
         the Pallas fast path (GSPMD cannot auto-partition pallas_call)
@@ -94,7 +104,6 @@ class JitImageTextEncoder(BaseEncoder):
             return fn
         from jax.sharding import PartitionSpec as P
         from emr2a_tpu.parallel.mesh import DATA_AXIS
-        batch_spec = P(*((DATA_AXIS,) + (None,) * (batch_ndim - 1)))
 
         def wrapped(params, *args):
             present = [a for a in args if a is not None]
@@ -106,7 +115,6 @@ class JitImageTextEncoder(BaseEncoder):
                 out_specs=P(DATA_AXIS, None), check_vma=False)
             return sm(params, *present)
 
-        del batch_spec
         return wrapped
 
     @staticmethod
@@ -167,12 +175,8 @@ class JitImageTextEncoder(BaseEncoder):
         for _, idxs in groups.items():
             for start in range(0, len(idxs), self.max_batch):
                 chunk = idxs[start:start + self.max_batch]
-                batch = np.stack([canon[i] for i in chunk])
-                b = self._bucket_for(len(chunk))
-                if b > len(chunk):
-                    pad = np.zeros((b - len(chunk),) + batch.shape[1:],
-                                   batch.dtype)
-                    batch = np.concatenate([batch, pad])
+                batch = self._pad_to_bucket(
+                    np.stack([canon[i] for i in chunk]))
                 feats = np.asarray(
                     self._jit_image(self.params, self._shard(batch)))
                 for j, i in enumerate(chunk):
@@ -214,12 +218,7 @@ class JitImageTextEncoder(BaseEncoder):
                                     spec.resize_size, spec.resize_size)
                 if not ok.any():
                     continue
-                batch = batch[ok]
-                b = self._bucket_for(len(batch))
-                if b > len(batch):
-                    batch = np.concatenate(
-                        [batch, np.zeros((b - len(batch),) + batch.shape[1:],
-                                         batch.dtype)])
+                batch = self._pad_to_bucket(batch[ok])
                 # async dispatch; np.asarray blocks on the device while
                 # the decode thread fills the next chunk
                 feats = np.asarray(

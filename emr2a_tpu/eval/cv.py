@@ -21,7 +21,7 @@ from __future__ import annotations
 import csv
 import json
 import logging
-import random
+import re
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -65,8 +65,9 @@ class CVRetrievalEvaluator:
         self.pca_dim = pca_dim
         self.top_k = top_k
         self.seed = seed
-        self.rng = np.random.RandomState(seed)
-        self.random = random.Random(seed)
+        # (the reference also builds self.rng/self.random here,
+        # cv_evaluator.py:38-39 — both are dead state it never reads;
+        # fold splitting seeds sklearn directly)
 
     # -- splitting (host, sklearn — bit-identical folds to the reference) --
 
@@ -261,8 +262,10 @@ class CVRetrievalEvaluator:
             fold_results["fold"] = fold_idx + 1
             fold_results["train_ids"] = train_ids
             all_results.append(fold_results)
-            logger.info("Fold %d: top1=%.4f vote=%.4f weighted=%.4f",
-                        fold_idx + 1, fold_results["top1"],
+            k0 = min(int(k[3:]) for k in fold_results
+                     if re.fullmatch(r"top\d+", k))
+            logger.info("Fold %d: top%d=%.4f vote=%.4f weighted=%.4f",
+                        fold_idx + 1, k0, fold_results[f"top{k0}"],
                         fold_results["vote_acc"],
                         fold_results["weighted_vote_acc"])
 
@@ -271,8 +274,15 @@ class CVRetrievalEvaluator:
 
     def _compute_summary(self, all_results: List[Dict]) -> Dict:
         summary = {}
-        for metric in ["top1", "top3", "top5", "vote_acc", "weighted_vote_acc",
-                       "macro_precision", "macro_recall", "macro_f1"]:
+        # derive the top-k keys from what the folds actually computed:
+        # the reference hardcodes top1/3/5 and crashes on any custom
+        # top_k_list (cv_evaluator.py:391-394 — reference bug, fixed)
+        topk_keys = sorted(
+            (k for k in all_results[0] if re.fullmatch(r"top\d+", k)),
+            key=lambda k: int(k[3:]))
+        for metric in topk_keys + ["vote_acc", "weighted_vote_acc",
+                                   "macro_precision", "macro_recall",
+                                   "macro_f1"]:
             values = [r[metric] for r in all_results]
             summary[metric] = {
                 "mean": float(np.mean(values)),

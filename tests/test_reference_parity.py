@@ -166,3 +166,23 @@ def test_int8_tower_embeddings_preserve_fold_metrics(rng):
                        "weighted_vote_acc", "macro_precision",
                        "macro_recall", "macro_f1"):
             assert rf[metric] == rq[metric], (metric, rf[metric], rq[metric])
+
+
+def test_run_cv_custom_top_k_list(rng):
+    """A custom top_k_list must flow through to the summary: the
+    reference hardcodes top1/3/5 in _compute_summary and crashes on
+    any other list (cv_evaluator.py:391-394 — reference bug, fixed)."""
+    n, dim = 40, 16
+    labs = [["A", "B", "C", "D"][i % 4] for i in range(n)]
+    pids = [f"p{i}" for i in range(n)]
+    img = rng.randn(n, dim).astype(np.float64)
+    txt = rng.randn(n, dim).astype(np.float64)
+    embs = {p: {"image": img[i], "text": txt[i]}
+            for i, p in enumerate(pids)}
+    ev = CVRetrievalEvaluator(cv_folds=3, pca_dim=8, top_k=10, seed=42)
+    out = ev.run_cv(pids, labs, embs, fusion="image_only",
+                    top_k_list=[1, 10])
+    assert set(k for k in out["summary"] if k.startswith("top")) == \
+        {"top1", "top10"}
+    for fold in out["fold_results"]:
+        assert "top10" in fold and "top3" not in fold
