@@ -285,7 +285,9 @@ def run_experiment(args, config: BaseConfig, experiment_id: str,
         "pca_dim": args.pca_dim,
         "top_k": args.top_k,
         "w_text": args.w_text if args.fusion == "late" else None,
-        "cv_folds": 5,
+        # the reference hardcodes 5 here even when --cv_folds differs
+        # (run_cv_experiments.py:479) — reference bug, fixed
+        "cv_folds": args.cv_folds,
         "seed": config.seed,
         "device": args.device,
         "num_patients": len(patient_ids),
@@ -345,9 +347,18 @@ def _run_vlm_review(args, experiment_id, manifest, patient_ids, results,
                 Counter(top_labels).most_common(1)[0][0])
             retrieval_similarities.append(top_scores)
             retrieval_labels.append(top_labels)
+            # real neighbor pids (eval/cv.py stores them per query) so
+            # the goalkeeper sees actual neighbor slices — placeholder
+            # ids resolve to no manifest record and the review would
+            # run with an empty evidence section (same recovery as
+            # step4/run.py's fold loader)
+            top_pids = fold_result.get("all_top_patient_ids", [])
+            pids_i = (top_pids[i] if i < len(top_pids)
+                      else [f"neighbor_{j}" for j in range(len(top_labels))])
             top_neighbors_list.append(
-                [(f"neighbor_{j}", label, float(score))
-                 for j, (label, score) in enumerate(zip(top_labels, top_scores))])
+                [(pid, label, float(score))
+                 for pid, (label, score) in zip(
+                     pids_i, zip(top_labels, top_scores))])
             query_patients.append(record)
             sample_count += 1
         if sample_count >= max_vlm_samples:
@@ -409,6 +420,15 @@ def _scan(args, config, values, attr, tag) -> None:
         else:
             exp_id = f"{args.experiment_id}_{tag}{v}"
         all_results[exp_id] = run_experiment(args, config, exp_id)
+        # top_k/pca_dim/w_text only change the CV math, not the
+        # embeddings: later scan values reuse the cache the first run
+        # just wrote instead of re-running the whole encoder pass per
+        # value (the reference re-encodes every scan step,
+        # run_cv_experiments.py:512-637)
+        cache = Path(config.features_dir) / "combined_embeddings.npz"
+        if not args.skip_encoding and cache.exists():
+            args.skip_encoding = True
+            args.embeddings_path = str(cache)
     from emr2a_tpu.eval.cv import make_serializable
     suffix = {"w_text": "late_fusion", "top_k": "topk_scan",
               "pca_dim": "pca_scan"}[attr]

@@ -94,10 +94,11 @@ class ClinicalScaler:
 
 
 def build_dataset(records: List[Dict], k_slices: int, label_to_idx: Dict,
-                  scaler: Optional[ClinicalScaler]) -> Dict[str, np.ndarray]:
+                  scaler: Optional[ClinicalScaler],
+                  image_size: int = 224) -> Dict[str, np.ndarray]:
     images, clinical, labels, pids = [], [], [], []
     for r in records:
-        arr = load_patient_images(r, k_slices)
+        arr = load_patient_images(r, k_slices, image_size=image_size)
         if arr is None:
             continue
         images.append(arr)
@@ -108,7 +109,9 @@ def build_dataset(records: List[Dict], k_slices: int, label_to_idx: Dict,
     if scaler is not None and len(clinical_arr):
         clinical_arr = scaler.transform(clinical_arr).astype(np.float32)
     return {
-        "images": np.stack(images) if images else np.zeros((0, k_slices, 224, 224, 3), np.float32),
+        "images": (np.stack(images) if images else
+                   np.zeros((0, k_slices, image_size, image_size, 3),
+                            np.float32)),
         "clinical": clinical_arr,
         "labels": np.asarray(labels, np.int32),
         "patient_ids": pids,
@@ -151,7 +154,8 @@ def make_steps(model, optimizer, use_clinical: bool):
     return train_step, eval_step
 
 
-def evaluate_fold(variables, eval_step, data, batch_size: int):
+def evaluate_fold(variables, eval_step, data, batch_size: int,
+                  num_classes: int = 4):
     from sklearn.metrics import confusion_matrix, precision_recall_fscore_support
     losses, preds, labels = [], [], []
     n = len(data["labels"])
@@ -165,7 +169,11 @@ def evaluate_fold(variables, eval_step, data, batch_size: int):
     acc = 100.0 * float(np.mean(np.asarray(preds) == np.asarray(labels)))
     precision, recall, f1, _ = precision_recall_fscore_support(
         labels, preds, average="macro", zero_division=0)
-    cm = confusion_matrix(labels, preds)
+    # pin the label axes: a class absent from one fold's test set
+    # would otherwise shrink the matrix and misalign it with
+    # compute_cnn_metrics' fixed class order
+    cm = confusion_matrix(labels, preds,
+                          labels=list(range(num_classes)))
     return (float(np.mean(losses)), acc, float(precision), float(recall),
             float(f1), cm, preds, labels)
 
@@ -177,9 +185,11 @@ def run_fold(fold_idx, train_records, test_records, model_type, args,
                 args.cv_folds, len(train_records), len(test_records))
     use_clinical = model_type == "multimodal"
     train_data = build_dataset(train_records, args.k_slices, label_to_idx,
-                               scaler if use_clinical else None)
+                               scaler if use_clinical else None,
+                               image_size=args.image_size)
     test_data = build_dataset(test_records, args.k_slices, label_to_idx,
-                              scaler if use_clinical else None)
+                              scaler if use_clinical else None,
+                              image_size=args.image_size)
 
     num_classes = len(label_to_idx)
     model = (MultimodalModel(num_classes=num_classes) if use_clinical
@@ -229,7 +239,8 @@ def run_fold(fold_idx, train_records, test_records, model_type, args,
             ep_accs.append(float(acc))
 
         val_loss, val_acc, val_prec, val_rec, val_f1, val_cm, _, _ = \
-            evaluate_fold(variables, eval_step, test_data, args.batch_size)
+            evaluate_fold(variables, eval_step, test_data,
+                          args.batch_size, num_classes)
         logger.info("Epoch %d/%d - Train Loss: %.4f, Acc: %.2f%% | "
                     "Val Loss: %.4f, Acc: %.2f%%, F1: %.4f",
                     epoch + 1, args.epochs, np.mean(ep_losses),

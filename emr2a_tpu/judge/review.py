@@ -136,11 +136,15 @@ class VLMReviewModule:
             if m_diag:
                 m_conf = re.search(r"Confidence:\s*([0-9.]+)", text, re.IGNORECASE)
                 m_cov = re.search(r"Coverage:\s*(\w+)", text, re.IGNORECASE)
-                return self._normalize(
+                result = self._normalize(
                     m_diag.group(1).strip(),
                     float(m_conf.group(1)) if m_conf else 0.5,
                     m_cov.group(1).strip() if m_cov else "unknown",
                     "text format")
+                if result is not None:
+                    return result
+                # invalid class in the Diagnosis: line — fall through
+                # to the one-line contract, like the JSON branch above
 
             # One-line contract: "PJP,0.85,covered"
             m_line = re.match(

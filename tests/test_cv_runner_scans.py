@@ -87,3 +87,9 @@ def test_vlm_review_branch(dataset, tmp_path, monkeypatch):
             "vlm_predictions"} <= set(summary)
     # evidence montages written
     assert (out / "exp_vr" / "vlm_review" / "evidence_0").exists()
+    # real neighbor evidence: the stored per-query patient ids resolve
+    # to manifest records, so neighbor montages exist (placeholder ids
+    # would leave the evidence dirs query-only)
+    assert list((out / "exp_vr" / "vlm_review" / "evidence_0")
+                .glob("neighbor_*.png")), \
+        "no neighbor montages — neighbor pids did not resolve"
