@@ -15,7 +15,6 @@ Semantics parity with the reference thinking encoders
 
 from __future__ import annotations
 
-import json
 import logging
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -32,8 +31,6 @@ from emr2a_tpu.models.qwen3_vl import (
     QwenTextModel,
     QwenVisionTower,
     compute_mrope_position_ids,
-    convert_hf_qwen3_vl,
-    qwen3_vl_config_from_hf,
 )
 
 
@@ -64,19 +61,12 @@ class Qwen3VLEncoder(BaseEncoder):
         self.target_layers = list(target_layers)
         if model_path is not None:
             mp = Path(model_path)
-            with (mp / "config.json").open() as f:
-                hf_cfg = json.load(f)
-            config = qwen3_vl_config_from_hf(hf_cfg)
-            from emr2a_tpu.models.checkpoint import (
-                load_or_convert, load_state_dict)
-            def convert_qwen3_vl(sd):
-                return convert_hf_qwen3_vl(
-                    sd, config.vision.depth, config.text.num_layers)
-
-            if cache_params:
-                params = load_or_convert(mp, convert_qwen3_vl)
-            else:
-                params = convert_qwen3_vl(load_state_dict(mp))
+            # one shared bring-up recipe with the judge backend
+            # (models/checkpoint.load_qwen3_vl: config.json -> convert
+            # -> Orbax converted-params cache)
+            from emr2a_tpu.models.checkpoint import load_qwen3_vl
+            config, params = load_qwen3_vl(mp, config, params,
+                                           cache_params)
             if tokenizer is None:
                 try:
                     from transformers import AutoTokenizer
@@ -101,6 +91,13 @@ class Qwen3VLEncoder(BaseEncoder):
         self.tap_indices = tuple(sorted(
             depth + t if t < 0 else t for t in self.target_layers
             if 0 <= (depth + t if t < 0 else t) < depth))
+        if not self.tap_indices:
+            # fail loudly here: an empty tap set would otherwise crash
+            # inside the jitted forward, which encode_batch_images
+            # degrades to a warning — every image would encode to None
+            raise ValueError(
+                f"target_layers {self.target_layers} are all out of "
+                f"range for a depth-{depth} vision tower")
         self._vision = QwenVisionTower(config.vision)
         self._text = QwenTextModel(config.text)
         self._jit_vision: Dict = {}
@@ -143,19 +140,26 @@ class Qwen3VLEncoder(BaseEncoder):
 
     # -- text path --
 
-    def _text_forward(self, seq_len: int):
-        if seq_len not in self._jit_text:
+    def _text_forward(self, bucket: int):
+        if bucket not in self._jit_text:
             def run(module, ids, pos):
                 embeds = module.embed_tokens(ids)
                 return module(embeds, pos, return_hidden=True)
 
-            def fn(params, input_ids, position_ids):
+            def fn(params, input_ids, position_ids, true_len):
                 hidden, _ = self._text.apply(
                     {"params": params["language_model"]}, input_ids,
                     position_ids, method=run)
-                return hidden.mean(axis=1)
-            self._jit_text[seq_len] = jax.jit(fn)
-        return self._jit_text[seq_len]
+                # masked mean over the real tokens: the default mask is
+                # causal, so right padding never influences valid
+                # positions, and excluding it from the mean makes
+                # bucketed == unpadded exactly
+                valid = (jnp.arange(hidden.shape[1])[None, :, None]
+                         < true_len).astype(hidden.dtype)
+                return ((hidden * valid).sum(axis=1)
+                        / jnp.maximum(true_len, 1).astype(hidden.dtype))
+            self._jit_text[bucket] = jax.jit(fn)
+        return self._jit_text[bucket]
 
     def _chat_wrap(self, text: str) -> str:
         if self.tokenizer is not None and hasattr(self.tokenizer,
@@ -178,10 +182,18 @@ class Qwen3VLEncoder(BaseEncoder):
                 ids = np.asarray(
                     self.tokenizer(prompt, return_tensors="np")["input_ids"],
                     dtype=np.int64)
+                # pad to a 128 bucket: one XLA compile per bucket
+                # instead of one per distinct text length (big-model
+                # compiles cost minutes on this instance)
+                true_len = ids.shape[1]
+                bucket = -(-true_len // 128) * 128
+                if bucket > true_len:
+                    ids = np.pad(ids, [(0, 0), (0, bucket - true_len)])
                 pos = compute_mrope_position_ids(
                     ids, [], self.config.image_token_id)
-                emb = self._text_forward(ids.shape[1])(
-                    self.params, jnp.asarray(ids), jnp.asarray(pos))
+                emb = self._text_forward(bucket)(
+                    self.params, jnp.asarray(ids), jnp.asarray(pos),
+                    jnp.int32(true_len))
                 out.append(np.asarray(emb[0], dtype=np.float32))
             except Exception as e:
                 logger.warning("Failed to encode text: %s", e)

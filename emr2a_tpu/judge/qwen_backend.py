@@ -31,27 +31,8 @@ logger = logging.getLogger(__name__)
 
 def _load_qwen3_vl(model_path, config=None, params=None,
                    cache_params: bool = True):
-    """Load (config, params) for a Qwen3-VL checkpoint directory, going
-    through the Orbax converted-params cache (models/checkpoint.py:
-    the 8B judge's torch.load + convert costs minutes, restore does
-    not)."""
-    if params is None:
-        mp = Path(model_path)
-        with (mp / "config.json").open() as f:
-            hf_cfg = json.load(f)
-        config = qwen3_vl_config_from_hf(hf_cfg)
-        from emr2a_tpu.models.checkpoint import (
-            load_or_convert, load_state_dict)
-
-        def convert_qwen3_vl(sd):
-            return convert_hf_qwen3_vl(
-                sd, config.vision.depth, config.text.num_layers)
-
-        if cache_params:
-            params = load_or_convert(mp, convert_qwen3_vl)
-        else:
-            params = convert_qwen3_vl(load_state_dict(mp))
-    return config, params
+    from emr2a_tpu.models.checkpoint import load_qwen3_vl
+    return load_qwen3_vl(model_path, config, params, cache_params)
 
 
 def _quantize_decoder(params, precision: str):

@@ -132,3 +132,32 @@ def load_or_convert(model_path, convert_fn, cache_name: str = "emr2a_flax"):
     except Exception:
         pass  # read-only checkpoint dirs: conversion still works
     return params
+
+
+def load_qwen3_vl(model_path, config=None, params=None,
+                  cache_params: bool = True):
+    """(config, params) for a Qwen3-VL checkpoint directory, through
+    the Orbax converted-params cache (the 8B judge's torch.load +
+    convert costs minutes; restore does not).  The ONE bring-up recipe
+    shared by the judge backend and the hidden-state-tap encoder —
+    tokenizer/image-processor policies stay per-caller."""
+    if params is None:
+        import json as _json
+        from pathlib import Path as _Path
+
+        from emr2a_tpu.models.qwen3_vl import (convert_hf_qwen3_vl,
+                                               qwen3_vl_config_from_hf)
+        mp = _Path(model_path)
+        with (mp / "config.json").open() as f:
+            hf_cfg = _json.load(f)
+        config = qwen3_vl_config_from_hf(hf_cfg)
+
+        def convert_qwen3_vl(sd):
+            return convert_hf_qwen3_vl(
+                sd, config.vision.depth, config.text.num_layers)
+
+        if cache_params:
+            params = load_or_convert(mp, convert_qwen3_vl)
+        else:
+            params = convert_qwen3_vl(load_state_dict(mp))
+    return config, params

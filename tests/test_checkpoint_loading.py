@@ -141,7 +141,10 @@ def test_qwen3_vl_bringup_cli(tmp_path):
                                tokenizer=ToyTokenizer(), image_size=16)
     assert summary["image_tap_dim"] == 32
     assert summary["text_dim"] == 48
-    assert summary["tokenizer_roundtrip_ok"]
+    # the toy tokenizer is honestly non-reversible: the round-trip
+    # field must say so (strict check), without failing the smoke for
+    # an injected tokenizer
+    assert summary["tokenizer_roundtrip_ok"] is False
     assert isinstance(summary["generated"], str)
 
 
