@@ -48,16 +48,25 @@ def load_images_rgb(paths: Sequence) -> List[Optional[np.ndarray]]:
     return [load_image_rgb(p) for p in paths]
 
 
+def plan_resize(h: int, w: int, size: int,
+                shortest_edge: bool = True) -> tuple:
+    """Target (nh, nw): shortest edge scaled to ``size`` (both >= size)
+    or an exact square."""
+    if not shortest_edge:
+        return size, size
+    scale = size / min(h, w)
+    return max(size, round(h * scale)), max(size, round(w * scale))
+
+
 def resize_to(arr: np.ndarray, size: int, shortest_edge: bool = True,
               method: str = "bicubic") -> np.ndarray:
     """Host resize (cv2/PIL) used to canonicalize mixed-size batches
     before the device pipeline; geometry matches ops/preprocess."""
     h, w = arr.shape[:2]
-    if shortest_edge:
-        scale = size / min(h, w)
-        nh, nw = max(size, round(h * scale)), max(size, round(w * scale))
-    else:
-        nh = nw = size
+    # the ONE geometry shared with the device pipeline: jit_encoder
+    # canonicalizes here, then ops/preprocess re-plans and must land on
+    # the same (nh, nw) to skip its device resample
+    nh, nw = plan_resize(h, w, size, shortest_edge)
     if (nh, nw) == (h, w):
         return arr
     if _HAS_CV2:

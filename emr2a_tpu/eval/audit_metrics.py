@@ -97,8 +97,17 @@ class ErrorDetectionMetrics:
         else:
             self.auroc = float(roc_auc_score(y_true, y_scores))
 
-        fpr, tpr, roc_thresholds = roc_curve(y_true, y_scores)
-        precision, recall, _ = precision_recall_curve(y_true, y_scores)
+        if len(np.unique(y_true)) < 2:
+            # sklearn's curves emit NaN tpr/precision for a single
+            # class, which json.dump writes as invalid strict JSON —
+            # the reference ships that broken artifact
+            # (step4_vlm_review/audit_metrics.py:157; reference bug,
+            # fixed): degenerate inputs get empty curves instead
+            fpr = tpr = roc_thresholds = np.asarray([])
+            precision = recall = np.asarray([])
+        else:
+            fpr, tpr, roc_thresholds = roc_curve(y_true, y_scores)
+            precision, recall, _ = precision_recall_curve(y_true, y_scores)
         self.precision_curve = precision.tolist()
         self.recall_curve = recall.tolist()
 

@@ -51,12 +51,10 @@ DINOV3_PREPROCESS = PreprocessSpec(shortest_edge=False, method="bilinear",
 
 
 def _resize_plan(h: int, w: int, spec: PreprocessSpec) -> Tuple[int, int]:
-    if not spec.shortest_edge:
-        return spec.resize_size, spec.resize_size
-    short = min(h, w)
-    scale = spec.resize_size / short
-    return max(spec.resize_size, round(h * scale)), \
-        max(spec.resize_size, round(w * scale))
+    # delegates to the host-side helper so the two stay bit-identical
+    # (jit_encoder skips the device resample only when they agree)
+    from emr2a_tpu.data.images import plan_resize
+    return plan_resize(h, w, spec.resize_size, spec.shortest_edge)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

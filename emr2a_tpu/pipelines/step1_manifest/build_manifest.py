@@ -70,6 +70,9 @@ def read_csv_with_fallback(path: Path, header="infer") -> pd.DataFrame:
                                keep_default_na=False)
         except UnicodeDecodeError as e:
             last_err = e
+    # the reference raises a 1-arg UnicodeDecodeError here, which
+    # itself crashes with TypeError (needs 5 args) — reference bug
+    # (build_manifest.py:67), fixed with a plain ValueError
     raise ValueError(f"Failed to decode {path} with any known encoding") from last_err
 
 

@@ -235,3 +235,22 @@ def test_audit_batch_batched_matches_sequential(cohort, tmp_path):
     assert srm["audit_results"] == seq["audit_results"]
     assert [c["n"] for c in str_backend.stream_calls] == [5]
     assert not getattr(str_backend, "batch_calls", [])
+
+
+def test_error_detection_single_class_valid_json():
+    """All-correct main predictions (y_true one class) must still
+    produce a strict-JSON-serializable artifact: the reference emits
+    NaN tpr/precision curves here (audit_metrics.py:157 — reference
+    bug, fixed with empty curves)."""
+    import json as _json
+
+    from emr2a_tpu.eval.audit_metrics import ErrorDetectionMetrics
+
+    m = ErrorDetectionMetrics()
+    out = m.compute(main_predictions=["PJP", "Viral", "Normal"],
+                    ground_truth=["PJP", "Viral", "Normal"],
+                    audit_scores=[0.1, 0.2, 0.3])
+    assert out["auroc"] == 0.5
+    assert out["fpr"] == [] and out["tpr"] == []
+    # allow_nan=False raises on any NaN — the strict-parser contract
+    _json.dumps(out, allow_nan=False)
