@@ -70,8 +70,11 @@ def _rotate_half(x):
 
 def apply_rope_to_patches(q, k, cos, sin, num_prefix: int):
     """q/k: (B, S, H, D); RoPE on tokens [num_prefix:]."""
-    cos = cos[None, :, None, :]
-    sin = sin[None, :, None, :]
+    # keep the compute dtype: the f32 cos/sin tables would otherwise
+    # promote bf16 q/k to f32 through every layer's QK^T (half the MXU
+    # rate and double the HBM traffic on the bf16 fast path)
+    cos = cos.astype(q.dtype)[None, :, None, :]
+    sin = sin.astype(q.dtype)[None, :, None, :]
     qp = q[:, num_prefix:]
     kp = k[:, num_prefix:]
     qp = qp * cos + _rotate_half(qp) * sin

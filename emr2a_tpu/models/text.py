@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from emr2a_tpu.models.layers import (
-    ACTIVATIONS,
     Mlp,
     MultiHeadAttention,
     TransformerBlock,

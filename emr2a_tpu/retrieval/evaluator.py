@@ -85,24 +85,32 @@ class RetrievalEvaluator:
         return cosine_similarity_matrix(jnp.asarray(test_emb),
                                         jnp.asarray(train_emb), normalize=True)
 
-    def _topk_hits(self, scores, train_labels, test_labels, top_k) -> float:
-        # degrade gracefully for tiny cohorts (np.argsort[-k:] semantics)
-        _, idx = topk_scores(scores, min(top_k, scores.shape[-1]))
-        idx = np.asarray(idx)
-        correct = sum(
-            1 for i, t in enumerate(test_labels)
-            if t in [train_labels[j] for j in idx[i]])
-        return correct / len(test_labels)
-
-    def _weighted_acc(self, scores, train_labels, test_labels) -> float:
-        vals, idx = topk_scores(scores, min(5, scores.shape[-1]))
+    def _matrix_metrics(self, scores, train_labels, test_labels,
+                        top_k_list, prefix: str = ""):
+        """Every per-matrix metric from ONE device top-k readback:
+        lax.top_k sorts descending, so idx[:, :k] IS the top-k slice
+        for each k — one dispatch + host sync instead of one per k
+        plus one for the weighted vote (each sync costs ~30 ms RTT
+        through the relay).  Degrades gracefully for tiny cohorts
+        (np.argsort[-k:] semantics)."""
+        kmax = min(max(list(top_k_list) + [5]), scores.shape[-1])
+        vals, idx = topk_scores(scores, kmax)
         vals, idx = np.asarray(vals), np.asarray(idx)
+        out: Dict = {}
+        for top_k in top_k_list:
+            kk = min(top_k, kmax)
+            correct = sum(
+                1 for i, t in enumerate(test_labels)
+                if t in [train_labels[j] for j in idx[i, :kk]])
+            out[f"{prefix}top{top_k}"] = correct / len(test_labels)
+        k5 = min(5, kmax)
         correct = 0
         for i, t in enumerate(test_labels):
-            labels = [train_labels[j] for j in idx[i]]
-            if weighted_vote(labels, vals[i]) == t:
+            labels = [train_labels[j] for j in idx[i, :k5]]
+            if weighted_vote(labels, vals[i, :k5]) == t:
                 correct += 1
-        return correct / len(test_labels)
+        out[f"{prefix}weighted"] = correct / len(test_labels)
+        return out, idx
 
     def evaluate_retrieval(self, train_text, test_text, train_image, test_image,
                            train_labels: List[str], test_labels: List[str],
@@ -120,39 +128,35 @@ class RetrievalEvaluator:
             test_fused = early_fusion(jnp.asarray(test_text), jnp.asarray(test_image),
                                       text_weight, 1 - text_weight)
             scores = self._scores(test_fused, train_fused)
-            for top_k in top_k_list:
-                results[f"top{top_k}"] = self._topk_hits(
-                    scores, train_labels, test_labels, top_k)
-            results["weighted"] = self._weighted_acc(scores, train_labels, test_labels)
+            metrics, _ = self._matrix_metrics(scores, train_labels,
+                                              test_labels, top_k_list)
+            results.update(metrics)
             return results
 
         text_scores = image_scores = None
         if test_text is not None and train_text is not None:
             text_scores = self._scores(test_text, train_text)
-            for top_k in top_k_list:
-                results[f"text_top{top_k}"] = self._topk_hits(
-                    text_scores, train_labels, test_labels, top_k)
-            results["text_weighted"] = self._weighted_acc(
-                text_scores, train_labels, test_labels)
+            metrics, _ = self._matrix_metrics(
+                text_scores, train_labels, test_labels, top_k_list,
+                prefix="text_")
+            results.update(metrics)
 
         if test_image is not None and train_image is not None:
             image_scores = self._scores(test_image, train_image)
-            for top_k in top_k_list:
-                results[f"image_top{top_k}"] = self._topk_hits(
-                    image_scores, train_labels, test_labels, top_k)
-            results["image_weighted"] = self._weighted_acc(
-                image_scores, train_labels, test_labels)
+            metrics, _ = self._matrix_metrics(
+                image_scores, train_labels, test_labels, top_k_list,
+                prefix="image_")
+            results.update(metrics)
 
         if text_scores is not None and image_scores is not None:
             fused_scores = late_fusion(text_scores, image_scores,
                                        text_weight, score_mode)
-            for top_k in top_k_list:
-                results[f"top{top_k}"] = self._topk_hits(
-                    fused_scores, train_labels, test_labels, top_k)
-            results["weighted"] = self._weighted_acc(
-                fused_scores, train_labels, test_labels)
-            results["all_top_labels_top5"] = self.get_all_top_labels(
-                np.asarray(fused_scores), train_labels, test_labels, 5)
+            metrics, idx = self._matrix_metrics(
+                fused_scores, train_labels, test_labels, top_k_list)
+            results.update(metrics)
+            k5 = min(5, idx.shape[1])
+            results["all_top_labels_top5"] = [
+                [train_labels[j] for j in row] for row in idx[:, :k5]]
 
         return results
 
