@@ -111,10 +111,10 @@ def fit_whiten_transform(train: jax.Array, test: jax.Array,
     StandardScaler(fit on train) → PCA(fit on train) → row-L2 both.
 
     ``pca_dim`` must already be clamped by the caller to
-    min(requested, n_train-1, dim) (cv_evaluator.py:82-87); a
-    non-positive clamp means "skip PCA", which the caller expresses by
-    calling with pca_dim == train dim? No — callers use
-    ``whiten_no_pca`` below for that branch, keeping shapes static here.
+    min(requested, n_train-1, dim) (cv_evaluator.py:82-87).  A
+    non-positive clamp means "skip PCA" — callers take
+    ``whiten_no_pca`` below for that branch, keeping shapes static
+    here.
     """
     sstate = scaler_fit(train)
     train_s = scaler_transform(sstate, train)

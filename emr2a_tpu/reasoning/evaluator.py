@@ -8,7 +8,6 @@ diagnosis-accuracy scoring.
 
 from __future__ import annotations
 
-import json
 from typing import Dict, List, Optional
 
 from emr2a_tpu.judge.parsers import extract_json_payload
@@ -35,16 +34,9 @@ class ReasoningEvaluator:
         self.llm = llm
 
     def extract_json_payload(self, raw_output: str) -> Optional[Dict]:
-        if not raw_output:
-            return None
-        raw = raw_output.strip()
-        try:
-            parsed = json.loads(raw)
-            if isinstance(parsed, dict):
-                return parsed
-        except Exception:
-            pass
-        return extract_json_payload(raw)
+        # one shared parser: judge/parsers.extract_json_payload already
+        # whole-string-parses before its fenced/embedded-object scans
+        return extract_json_payload(raw_output)
 
     def _call_llm(self, prompt: str, images, max_new_tokens: int,
                   temperature: float) -> str:
@@ -99,6 +91,10 @@ class ReasoningEvaluator:
         if len(predictions) != len(ground_truth):
             raise ValueError(
                 "Predictions and ground truth must have the same length")
+        if not ground_truth:
+            # the reference divides by zero here
+            # (reasoning/evaluator.py:193) — reference bug, fixed
+            return {"accuracy": 0.0, "correct": 0, "total": 0}
         correct = sum(
             1 for pred, gt in zip(predictions, ground_truth)
             if self._normalize_label(

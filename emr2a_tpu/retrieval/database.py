@@ -18,6 +18,7 @@ the whole DB with per-query numpy loops on one host).  Design:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -28,6 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from emr2a_tpu.ops.similarity import l2_normalize_rows
 from emr2a_tpu.ops.topk import NEG_INF, cosine_topk_pallas
 from emr2a_tpu.parallel.mesh import DATA_AXIS, default_mesh
+
+logger = logging.getLogger(__name__)
 
 
 def quantize_rows_int8(x: np.ndarray):
@@ -168,12 +171,26 @@ class ShardedEmbeddingDatabase:
     def _get_topk(self, k: int):
         if k not in self._jitted:
             quantized = self.db_scales is not None
+            # The experimental Pallas kernel scores padding rows as
+            # real 0-cosine candidates inside its running top-k (it has
+            # no valid-row input), which can displace true negative-
+            # score neighbors before the caller's re-mask — so it is
+            # only sound when the padded buffer is exactly full.  It
+            # also loses to XLA at every measured scale
+            # (docs/PERF_NOTES.md), hence experiment-only.
+            padded = self.shard_size * self.mesh.shape[DATA_AXIS] != self.n
+            use_pallas = self.use_pallas and not quantized and not padded
+            if self.use_pallas and not use_pallas:
+                logger.warning(
+                    "use_pallas disabled: the fused top-k kernel cannot "
+                    "mask %s", "int8 scales" if quantized else
+                    "capacity/shard padding rows")
             in_specs = (P(), P(DATA_AXIS, None), P()) + (
                 (P(DATA_AXIS),) if quantized else ())
             fn = jax.shard_map(
                 functools.partial(
                     _sharded_topk_fn, k=k,
-                    shard_size=self.shard_size, use_pallas=self.use_pallas),
+                    shard_size=self.shard_size, use_pallas=use_pallas),
                 mesh=self.mesh,
                 in_specs=in_specs,
                 out_specs=(P(), P()),

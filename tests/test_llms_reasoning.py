@@ -83,3 +83,12 @@ def test_qwen3_llm_generate_stream_routes_to_backend():
     assert out == ["A", "B", "C"]
     assert backend.stream_calls[0]["n"] == 3
     assert backend.stream_calls[0]["n_slots"] == 2
+
+
+def test_evaluate_accuracy_empty():
+    """Empty inputs return zeros instead of dividing by zero (the
+    reference crashes, reasoning/evaluator.py:193 — reference bug,
+    fixed)."""
+    ev = ReasoningEvaluator(llm=FakeLLM())
+    assert ev.evaluate_accuracy([], []) == {
+        "accuracy": 0.0, "correct": 0, "total": 0}

@@ -267,3 +267,20 @@ def test_database_cli_build_query_add(mesh8, rng, tmp_path, dtype):
             # must still land on a same-class neighbor
             expected = new_labels[new_pids.index(row["query_id"])]
             assert top["label"] == expected
+
+
+def test_use_pallas_disabled_under_padding(mesh8, rng):
+    """use_pallas with capacity padding must fall back to the XLA scan:
+    the fused kernel scores padding rows as real 0-cosine candidates
+    inside its running top-k, which can displace true negative-score
+    neighbors before the caller's re-mask."""
+    emb = rng.randn(20, 16).astype(np.float32)
+    q = rng.randn(3, 16).astype(np.float32)
+    ref = ShardedEmbeddingDatabase(emb, mesh=mesh8)
+    padded = ShardedEmbeddingDatabase(emb, mesh=mesh8, use_pallas=True,
+                                      capacity=64)
+    vref, iref = ref.topk(q, k=5)
+    vpad, ipad = padded.topk(q, k=5)
+    np.testing.assert_array_equal(np.asarray(ipad), np.asarray(iref))
+    np.testing.assert_allclose(np.asarray(vpad), np.asarray(vref),
+                               rtol=1e-5)
