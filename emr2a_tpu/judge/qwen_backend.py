@@ -308,16 +308,26 @@ class QwenVLBackend:
                 for r in requests]
         max_len = max(len(ids) for ids, _, _ in rows)
         bucket = -(-max_len // self.prompt_bucket) * self.prompt_bucket
-        key = (bucket, int(n_slots), int(max_new_tokens))
+        # an all-greedy wave with a draft loaded serves speculatively:
+        # every slot advances by draft-k/verify-1 cycles (lossless);
+        # sampled waves fall back to a draft-less batcher
+        sampling = any(float(r.get("temperature", temperature) or 0.0) > 0
+                       for r in requests)
+        use_spec = self.spec_generator is not None and not sampling
+        key = (bucket, int(n_slots), int(max_new_tokens), use_spec)
         if not hasattr(self, "_batchers"):
             self._batchers = {}
         if key not in self._batchers:
+            spec_kwargs = (dict(draft_model=self.spec_generator.dm,
+                                draft_params=self.spec_generator.dp,
+                                spec_k=self.spec_generator.spec_k)
+                           if use_spec else {})
             self._batchers[key] = ContinuousBatcher(
                 self.generator.model, self.generator.params,
                 n_slots=n_slots, prompt_bucket=bucket,
                 max_new_tokens=max_new_tokens,
                 eos_token_id=self.generator.eos_token_id,
-                kv_dtype=self.generator.kv_dtype)
+                kv_dtype=self.generator.kv_dtype, **spec_kwargs)
         reqs = []
         for i, (ids, patches, grids) in enumerate(rows):
             t = float(requests[i].get("temperature", temperature) or 0.0)

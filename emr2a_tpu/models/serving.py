@@ -61,7 +61,18 @@ class ContinuousBatcher:
     def __init__(self, model: Qwen3VLModel, params, n_slots: int = 8,
                  prompt_bucket: int = 1024, max_new_tokens: int = 1024,
                  eos_token_id: int = 151645, kv_dtype: str = "bf16",
-                 chunk: int = 16):
+                 chunk: int = 16, draft_model: Optional[Qwen3VLModel] = None,
+                 draft_params=None, spec_k: int = 4):
+        """``draft_model/draft_params`` turn every slot speculative:
+        each chunk iteration becomes a draft-k/verify-1 cycle (the
+        draft proposes ``spec_k`` tokens per slot, the target verifies
+        all slots' k+1 positions in ONE forward), so a chunk of C
+        cycles emits between C and C*(k+1) tokens per slot.  The
+        verify step at B slots is still weight-bandwidth-bound, so
+        accepted drafts multiply aggregate throughput on top of the
+        batching amortization.  Greedy-only (lossless — every slot's
+        stream is exactly the target's own greedy decode); a
+        draft-enabled batcher rejects sampled requests."""
         self.model = model
         self.params = params
         self.config = model.config
@@ -73,11 +84,24 @@ class ContinuousBatcher:
             raise ValueError(f"kv_dtype must be bf16 or int8: {kv_dtype}")
         self.kv_dtype = kv_dtype
         self.chunk = int(chunk)
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.spec_k = int(spec_k)
+        if draft_model is not None:
+            if draft_model.config.text.vocab_size != \
+                    model.config.text.vocab_size:
+                raise ValueError("draft and target must share a vocabulary")
+            if self.spec_k < 1:
+                raise ValueError("spec_k must be >= 1")
         # chunk slack: a row that hits its budget right after a chunk
         # boundary keeps writing garbage KV until the host deactivates
-        # it at the next boundary
-        self.max_len = self.prompt_bucket + self.max_new_tokens + self.chunk
+        # it at the next boundary; a speculative chunk advances up to
+        # (spec_k + 1) positions per cycle
+        per_iter = (self.spec_k + 1) if draft_model is not None else 1
+        self.max_len = (self.prompt_bucket + self.max_new_tokens
+                        + self.chunk * per_iter)
         self._prefill_fns: Dict = {}
+        self._draft_prefill_fns: Dict = {}
         self._insert_fn = None
         self._chunk_fns: Dict[bool, object] = {}
         self._state = None
@@ -88,7 +112,7 @@ class ContinuousBatcher:
         B = self.n_slots
         cache = empty_kv_cache(self.config.text, B, self.max_len,
                                self.kv_dtype)
-        return {
+        state = {
             "cache": cache,
             "cur": jnp.full((B,), self.eos_token_id, jnp.int32),
             "gen": jnp.zeros((B,), jnp.int32),
@@ -99,6 +123,11 @@ class ContinuousBatcher:
             "temp": jnp.zeros((B,), jnp.float32),
             "top_p": jnp.ones((B,), jnp.float32),
         }
+        if self.draft_model is not None:
+            state["d_cache"] = empty_kv_cache(
+                self.draft_model.config.text, B, self.max_len,
+                self.kv_dtype)
+        return state
 
     # -- compiled programs ---------------------------------------------------
 
@@ -127,20 +156,47 @@ class ContinuousBatcher:
 
         return jax.jit(run)
 
+    def _build_draft_prefill(self, grid_thw):
+        """Cache-only prefill of the DRAFT model (the draft's first
+        proposal comes from feeding the target's first token, so its
+        prefill logits are never used)."""
+        P, max_len = self.prompt_bucket, self.max_len
+
+        def run(dparams, input_ids, position_ids, true_len, pixel_patches):
+            cache = empty_kv_cache(self.draft_model.config.text, 1,
+                                   max_len, self.kv_dtype)
+            q_idx = jnp.arange(P)[None, :, None]
+            k_idx = jnp.arange(max_len)[None, None, :]
+            mask = jnp.where(
+                (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
+                0.0, -jnp.inf).astype(jnp.float32)
+            _, cache = self.draft_model.apply(
+                {"params": dparams}, input_ids, position_ids,
+                pixel_patches=pixel_patches, grid_thw=grid_thw,
+                cache=cache, cache_pos=0, attn_mask=mask,
+                return_hidden=True)
+            return cache
+
+        return jax.jit(run)
+
+    @staticmethod
+    def _scatter_slot(state_cache, cache1, slot):
+        return [
+            tuple(jax.lax.dynamic_update_slice(
+                buf, one, (slot,) + (0,) * (buf.ndim - 1))
+                for buf, one in zip(layer, layer1))
+            for layer, layer1 in zip(state_cache, cache1)]
+
     def _build_insert(self):
         def run(state, cache1, logits, pos_base, true_len, slot, key,
-                temp, top_p):
-            cache = [
-                tuple(jax.lax.dynamic_update_slice(
-                    buf, one, (slot,) + (0,) * (buf.ndim - 1))
-                    for buf, one in zip(layer, layer1))
-                for layer, layer1 in zip(state["cache"], cache1)]
+                temp, top_p, d_cache1=None):
+            cache = self._scatter_slot(state["cache"], cache1, slot)
             # first token from the prefill logits, with the slot's
             # sampling config (temp <= 0 -> argmax, the greedy path)
             key0, key = jax.random.split(key)
             first = sample_rows(logits, key0[None], temp[None],
                                 top_p[None])[0]
-            return {
+            out = {
                 "cache": cache,
                 "cur": state["cur"].at[slot].set(first),
                 "gen": state["gen"].at[slot].set(0),
@@ -150,10 +206,16 @@ class ContinuousBatcher:
                 "temp": state["temp"].at[slot].set(temp),
                 "top_p": state["top_p"].at[slot].set(top_p),
             }
+            if d_cache1 is not None:
+                out["d_cache"] = self._scatter_slot(
+                    state["d_cache"], d_cache1, slot)
+            return out
 
-        # donate the old state (and the consumed 1-slot prefill cache):
+        # donate the old state (and the consumed 1-slot prefill caches):
         # the update aliases in place instead of doubling the multi-GiB
         # slot KV residency per insert
+        if self.draft_model is not None:
+            return jax.jit(run, donate_argnums=(0, 1, 9))
         return jax.jit(run, donate_argnums=(0, 1))
 
     def _build_chunk(self, sampling: bool):
@@ -205,9 +267,106 @@ class ContinuousBatcher:
         # instead of allocating a second multi-GiB copy per chunk
         return jax.jit(run, donate_argnums=(1,))
 
+    def _build_spec_chunk(self):
+        """``chunk`` draft-k/verify-1 cycles over all slots in one jit.
+
+        Per cycle: the draft decodes ``spec_k + 1`` single-token steps
+        for every slot (feeding the pending token then its own
+        proposals), the target verifies each slot's (pending + k
+        proposals) chunk in ONE k+1-token forward at per-slot cache
+        offsets, and greedy acceptance advances each slot by
+        1..spec_k+1 verified tokens.  Rejected cache positions are
+        never exposed (masks bound reads by the verified depth) and are
+        overwritten by later cycles — the batched form of
+        models/speculative.py's mask-out-instead-of-rollback.  Returns
+        per-cycle (targets (B, chunk, k+1), n_acc (B, chunk)); the host
+        emits ``targets[..., :n_acc+1]``.
+        """
+        P, max_len, eos = self.prompt_bucket, self.max_len, self.eos_token_id
+        B, k = self.n_slots, self.spec_k
+
+        def run(params, dparams, state, active):
+            tl, pos_base = state["tl"], state["pos_base"]
+            k_idx = jnp.arange(max_len)[None, None, :]
+
+            def cycle(carry, _):
+                cache, d_cache, cur, gen, act = carry
+
+                # -- draft: k+1 single-token steps across all slots
+                # (the +1 feed keeps the draft cache ahead when every
+                # proposal is accepted)
+                def dstep(dc_tok, i):
+                    d_cache, tok = dc_tok
+                    g = gen + i
+                    pos = jnp.broadcast_to(
+                        (pos_base + g)[None, :, None], (3, B, 1))
+                    mask = jnp.where(
+                        (k_idx < tl[:, None, None])
+                        | ((k_idx >= P) & (k_idx <= (P + g)[:, None, None])),
+                        0.0, -jnp.inf).astype(jnp.float32)
+                    logits, d_cache = self.draft_model.apply(
+                        {"params": dparams}, tok[:, None], pos,
+                        cache=d_cache, cache_pos=P + g, attn_mask=mask)
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                    return (d_cache, nxt), nxt
+
+                (d_cache, _), drafts = jax.lax.scan(
+                    dstep, (d_cache, cur), jnp.arange(k + 1))
+                drafts = drafts[:k].T  # (B, k) proposals d_1..d_k
+
+                # -- target verifies [cur, d_1..d_k] per slot in ONE
+                # (B, k+1)-token forward at per-slot cache offsets
+                chunk_toks = jnp.concatenate([cur[:, None], drafts], axis=1)
+                gen_idx = gen[:, None] + jnp.arange(k + 1)[None, :]  # (B,k+1)
+                pos = jnp.broadcast_to(
+                    (pos_base[:, None] + gen_idx)[None], (3, B, k + 1))
+                hi = (P + gen_idx)[:, :, None]
+                mask = jnp.where(
+                    (k_idx < tl[:, None, None])
+                    | ((k_idx >= P) & (k_idx <= hi)),
+                    0.0, -jnp.inf).astype(jnp.float32)
+                logits, cache = self.model.apply(
+                    {"params": params}, chunk_toks, pos,
+                    cache=cache, cache_pos=P + gen, attn_mask=mask)
+                targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                # -- greedy acceptance per slot: longest prefix with
+                # d_j == tau_{j-1}
+                match = (drafts == targets[:, :k]).astype(jnp.int32)
+                n_acc = jnp.argmin(jnp.cumprod(match, axis=1), axis=1)
+                n_acc = jnp.where(match.all(axis=1), k, n_acc)
+
+                # freeze: a row whose pending token was eos stays
+                # frozen (mirrors the greedy chunk's emit-then-freeze),
+                # and a row emitting eos among its accepted tokens
+                # freezes for later cycles
+                act = act & (cur != eos)
+                valid = jnp.arange(k + 1)[None, :] <= n_acc[:, None]
+                hit_eos = jnp.any(valid & (targets == eos), axis=1)
+                targets = jnp.where(act[:, None], targets, eos)
+                n_acc = jnp.where(act, n_acc, 0)
+                new_cur = jnp.where(
+                    act, jnp.take_along_axis(
+                        targets, n_acc[:, None], axis=1)[:, 0], eos)
+                gen = jnp.where(act, gen + n_acc + 1, gen)
+                act = act & ~hit_eos
+                return ((cache, d_cache, new_cur, gen, act),
+                        (targets, n_acc))
+
+            (cache, d_cache, cur, gen, _), (toks, accs) = jax.lax.scan(
+                cycle, (state["cache"], state["d_cache"], state["cur"],
+                        state["gen"], active),
+                None, length=self.chunk)
+            new_state = dict(state, cache=cache, d_cache=d_cache, cur=cur,
+                             gen=gen)
+            # (B, chunk, k+1) targets and (B, chunk) acceptance counts
+            return new_state, toks.swapaxes(0, 1), accs.swapaxes(0, 1)
+
+        return jax.jit(run, donate_argnums=(2,))
+
     # -- host scheduler ------------------------------------------------------
 
-    def _prefill(self, req: dict):
+    def _prefill_inputs(self, req: dict):
         ids = np.asarray(req["input_ids"])
         if ids.ndim == 1:
             ids = ids[None]
@@ -228,13 +387,25 @@ class ContinuousBatcher:
             pad = self.prompt_bucket - seq_len
             ids = np.pad(ids, [(0, 0), (0, pad)])
             position_ids = np.pad(position_ids, [(0, 0), (0, 0), (0, pad)])
-        if grid_thw not in self._prefill_fns:
-            self._prefill_fns[grid_thw] = self._build_prefill(grid_thw)
         patches = req.get("pixel_patches")
         patches = jnp.asarray(patches) if patches is not None else None
-        return self._prefill_fns[grid_thw](
-            self.params, jnp.asarray(ids), jnp.asarray(position_ids),
-            jnp.asarray([seq_len], jnp.int32), patches)
+        return (grid_thw, jnp.asarray(ids), jnp.asarray(position_ids),
+                jnp.asarray([seq_len], jnp.int32), patches)
+
+    def _prefill(self, req: dict):
+        grid_thw, ids, pos, tl, patches = self._prefill_inputs(req)
+        if grid_thw not in self._prefill_fns:
+            self._prefill_fns[grid_thw] = self._build_prefill(grid_thw)
+        return self._prefill_fns[grid_thw](self.params, ids, pos, tl,
+                                           patches)
+
+    def _draft_prefill(self, req: dict):
+        grid_thw, ids, pos, tl, patches = self._prefill_inputs(req)
+        if grid_thw not in self._draft_prefill_fns:
+            self._draft_prefill_fns[grid_thw] = \
+                self._build_draft_prefill(grid_thw)
+        return self._draft_prefill_fns[grid_thw](self.draft_params, ids,
+                                                 pos, tl, patches)
 
     def serve(self, requests: Sequence[dict],
               max_new_tokens: Optional[int] = None) -> List[np.ndarray]:
@@ -253,9 +424,17 @@ class ContinuousBatcher:
             self._insert_fn = self._build_insert()
         sampling = any(float(r.get("temperature") or 0.0) > 0
                        for r in requests)
-        if sampling not in self._chunk_fns:
-            self._chunk_fns[sampling] = self._build_chunk(sampling)
-        chunk_fn = self._chunk_fns[sampling]
+        spec = self.draft_model is not None
+        if spec and sampling:
+            raise ValueError(
+                "speculative continuous batching is greedy-only (the "
+                "lossless acceptance rule); serve sampled requests "
+                "through a draft-less batcher")
+        key = "spec" if spec else sampling
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = (self._build_spec_chunk() if spec
+                                    else self._build_chunk(sampling))
+        chunk_fn = self._chunk_fns[key]
         if self._state is None:
             self._state = self._init_state()
         default_new = max_new_tokens or self.max_new_tokens
@@ -270,7 +449,7 @@ class ContinuousBatcher:
 
         def refill():
             for s in range(self.n_slots):
-                if slot_req[s] is None and queue:
+                while slot_req[s] is None and queue:
                     r = queue.pop(0)
                     req = requests[r]
                     cache1, logits, pos_base = self._prefill(req)
@@ -278,33 +457,61 @@ class ContinuousBatcher:
                         [min(np.asarray(req["input_ids"]).reshape(
                             1, -1).shape[1], self.prompt_bucket)],
                         jnp.int32)
-                    self._state = self._insert_fn(
-                        self._state, cache1, logits, pos_base, tl,
-                        jnp.int32(s),
-                        jax.random.PRNGKey(int(
-                            req["seed"] if req.get("seed") is not None
-                            else r)),
-                        jnp.float32(float(req.get("temperature") or 0.0)),
-                        jnp.float32(float(req.get("top_p") or 1.0)))
+                    args = [self._state, cache1, logits, pos_base, tl,
+                            jnp.int32(s),
+                            jax.random.PRNGKey(int(
+                                req["seed"] if req.get("seed") is not None
+                                else r)),
+                            jnp.float32(float(req.get("temperature") or 0.0)),
+                            jnp.float32(float(req.get("top_p") or 1.0))]
+                    if spec:
+                        # the spec chunk emits only post-verify tokens,
+                        # so the prefill's first token is emitted here
+                        # (one small readback per refill; prefill
+                        # already synced this request's turn)
+                        first = int(np.asarray(jnp.argmax(logits[0])))
+                        emitted[r].append(first)
+                        if (first == self.eos_token_id
+                                or len(emitted[r]) >= budgets[r]):
+                            done[r] = True
+                        args.append(self._draft_prefill(req))
+                    self._state = self._insert_fn(*args)
+                    if spec and done[r]:
+                        continue  # slot stays free for the next request
                     slot_req[s] = r
                     active[s] = True
+                    break
+
+        def emit_row(r, tokens) -> bool:
+            for t in tokens:
+                t = int(t)
+                emitted[r].append(t)
+                if (t == self.eos_token_id
+                        or len(emitted[r]) >= budgets[r]):
+                    done[r] = True
+                    return True
+            return False
 
         try:
             refill()
             while any(r is not None for r in slot_req):
-                self._state, toks = chunk_fn(
-                    self.params, self._state, jnp.asarray(active))
-                toks = np.asarray(toks)  # (n_slots, chunk)
+                if spec:
+                    self._state, toks, accs = chunk_fn(
+                        self.params, self.draft_params, self._state,
+                        jnp.asarray(active))
+                    toks = np.asarray(toks)   # (n_slots, chunk, k+1)
+                    accs = np.asarray(accs)   # (n_slots, chunk)
+                else:
+                    self._state, toks = chunk_fn(
+                        self.params, self._state, jnp.asarray(active))
+                    toks = np.asarray(toks)[:, :, None]  # (B, chunk, 1)
+                    accs = np.zeros(toks.shape[:2], np.int64)
                 for s in range(self.n_slots):
                     r = slot_req[s]
                     if r is None:
                         continue
-                    for t in toks[s]:
-                        t = int(t)
-                        emitted[r].append(t)
-                        if (t == self.eos_token_id
-                                or len(emitted[r]) >= budgets[r]):
-                            done[r] = True
+                    for c in range(toks.shape[1]):
+                        if emit_row(r, toks[s, c, :int(accs[s, c]) + 1]):
                             break
                     if done[r]:
                         slot_req[s] = None

@@ -286,10 +286,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--draft_model", default=None,
                         help="path to a small same-vocabulary draft "
                              "checkpoint (e.g. the 2B judge) enabling "
-                             "lossless greedy speculative decoding of "
-                             "single-case audits; ignored when "
-                             "--vlm_batch_size > 1 (batched serving "
-                             "already amortizes the weight stream)")
+                             "lossless greedy speculative decoding: "
+                             "single-case audits run draft-k/verify-1 "
+                             "cycles, and with --serving continuous "
+                             "every SLOT advances speculatively "
+                             "(accepted drafts multiply aggregate "
+                             "throughput on top of the batching "
+                             "amortization); static --vlm_batch_size>1 "
+                             "chunks ignore the draft")
     parser.add_argument("--serving", default="static",
                         choices=["static", "continuous"],
                         help="batched audit scheduling: 'static' = fixed "

@@ -57,6 +57,15 @@ def main():
     ap.add_argument("--skip_static", action="store_true",
                     help="reuse a previously measured static wall "
                          "(saves a second big compile)")
+    ap.add_argument("--draft", action="store_true",
+                    help="speculative slots: a 2B draft (tiny at "
+                         "--geometry tiny) drafts spec_k tokens per "
+                         "slot, the target verifies k+1 positions per "
+                         "cycle.  Random weights = ~0 acceptance, so "
+                         "the measured wall is the WORST case (1 "
+                         "token/cycle); tok/s at real acceptance a is "
+                         "modeled like exp_spec_decode")
+    ap.add_argument("--spec_k", type=int, default=4)
     ap.add_argument("--sampled", action="store_true",
                     help="also measure the mixed-temperature stream "
                          "(half the slots greedy, half top-k/top-p "
@@ -123,6 +132,49 @@ def main():
     emit("continuous_serve_wall", cont_wall, "s", chunk=args.chunk)
     emit("continuous_serve_throughput", total_tokens / cont_wall, "tok/s",
          chunk=args.chunk)
+
+    # -- speculative slots ----------------------------------------------------
+    if args.draft:
+        dcfg = build_config("tiny" if args.geometry == "tiny" else "2b",
+                            args.layers)
+        dmodel = Qwen3VLModel(dcfg)
+        print(f"materializing draft params (W8A8) on device...", flush=True)
+        dparams = materialize_quantized_on_device(dmodel,
+                                                  jax.random.PRNGKey(7))
+        jax.block_until_ready(dparams)
+        sps = ContinuousBatcher(model, params, n_slots=B,
+                                prompt_bucket=args.bucket,
+                                max_new_tokens=max_new, eos_token_id=-1,
+                                kv_dtype=args.kv, chunk=args.chunk,
+                                draft_model=dmodel, draft_params=dparams,
+                                spec_k=args.spec_k)
+        t0 = time.time()
+        out = sps.serve(reqs)
+        print(f"spec compile+serve: {time.time()-t0:.1f}s", flush=True)
+        assert len(out) == N
+        t0 = time.time()
+        sps.serve(reqs)
+        spec_wall = time.time() - t0
+        # ~0 acceptance => every cycle emits 1 token per active slot,
+        # so spec_wall/total_tokens is the worst-case aggregate cost
+        # per emitted token (one cycle amortized over B slots); at
+        # acceptance a each cycle emits sum(a^j, j<=k) tokens/slot
+        # instead of 1, so modeled aggregate tok/s scales by that
+        # factor (measured term: the worst-case wall; modeled term:
+        # the acceptance rate — same convention as exp_spec_decode)
+        per_tok = spec_wall / total_tokens
+        print(f"speculative (worst case, ~0 acceptance): {spec_wall:.2f}s "
+              f"({total_tokens/spec_wall:.1f} tok/s aggregate; "
+              f"{per_tok*1000:.2f} ms/token)", flush=True)
+        emit("spec_continuous_worst_wall", spec_wall, "s",
+             chunk=args.chunk, spec_k=args.spec_k)
+        emit("spec_continuous_worst_throughput",
+             total_tokens / spec_wall, "tok/s",
+             chunk=args.chunk, spec_k=args.spec_k)
+        for a in (0.5, 0.7, 0.9):
+            toks = sum(a ** j for j in range(args.spec_k + 1))
+            emit("spec_continuous_modeled", toks / per_tok, "tok/s",
+                 acceptance=a, modeled=True, spec_k=args.spec_k)
 
     # -- mixed-temperature stream -------------------------------------------
     if args.sampled:

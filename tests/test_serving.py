@@ -204,6 +204,18 @@ def test_backend_generate_stream_matches_batch(rng):
     out = be.generate(requests[0]["images"], requests[0]["prompt"],
                       max_new_tokens=4)
     assert isinstance(out, str)
+    be.standardize_images = None
+
+    # with a draft loaded (the target drafting for itself), an
+    # all-greedy wave serves through SPECULATIVE continuous batching
+    # and must still emit exactly the static-batch greedy text
+    from emr2a_tpu.models.speculative import SpeculativeGenerator
+    be.spec_generator = SpeculativeGenerator(
+        be.generator.model, be.generator.params, be.generator.model,
+        be.generator.params, spec_k=2,
+        eos_token_id=be.generator.eos_token_id)
+    spec_stream = be.generate_stream(requests, max_new_tokens=8, n_slots=2)
+    assert spec_stream == batch, (spec_stream, batch)
 
 
 def test_continuous_rejects_overlong_prompt():
@@ -257,3 +269,56 @@ def test_audit_continuous_through_real_backend(rng, tmp_path):
     # random weights parse to the safe default, never crash the batch
     for r in streamed["audit_results"]:
         assert r["final_decision"] in ("accept", "reject", "abstain")
+
+
+def test_spec_continuous_matches_plain():
+    """Speculative continuous batching (per-slot draft-k/verify-1
+    cycles) must emit EXACTLY each request's plain greedy stream —
+    with a disagreeing draft (worst case: every cycle emits one
+    token) AND with the target drafting for itself (every cycle
+    accepts all k proposals, stressing the multi-token advance)."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    dmodel, dparams = init_params(cfg, 7)
+    reqs = text_requests(5, seed=21)
+    budgets = [10, 4, 12, 7, 9]
+    for i, r in enumerate(reqs):
+        r["max_new_tokens"] = budgets[i]
+    expected = plain_rows(model, params, reqs, budgets, eos=-1)
+    for dm, dp in ((dmodel, dparams), (model, params)):
+        srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=16,
+                                max_new_tokens=12, eos_token_id=-1, chunk=3,
+                                draft_model=dm, draft_params=dp, spec_k=2)
+        got = srv.serve(reqs)
+        for i, (g, e) in enumerate(zip(got, expected)):
+            np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
+def test_spec_continuous_eos_and_refill():
+    """eos stops mid-stream under speculation: rows finish at
+    different cycles and free their slots for queued requests; the
+    emitted streams still match the plain generator with the same
+    eos."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    dmodel, dparams = init_params(cfg, 3)
+    reqs = text_requests(6, seed=4)
+
+    probe = Qwen3VLGenerator(model, params, eos_token_id=-1)
+    streams = [probe.generate(np.asarray(r["input_ids"]), max_new_tokens=10,
+                              prompt_bucket=16)[0] for r in reqs]
+    eos = int(streams[1][2])
+
+    budgets = [10] * 6
+    expected = plain_rows(model, params, reqs, budgets, eos=eos)
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=16,
+                            max_new_tokens=10, eos_token_id=eos, chunk=2,
+                            draft_model=dmodel, draft_params=dparams,
+                            spec_k=3)
+    got = srv.serve(reqs, max_new_tokens=10)
+    for i, (g, e) in enumerate(zip(got, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+    # sampled requests are rejected (lossless greedy acceptance only)
+    with pytest.raises(ValueError, match="greedy-only"):
+        srv.serve([dict(reqs[0], temperature=0.7)], max_new_tokens=4)
