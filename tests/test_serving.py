@@ -271,12 +271,14 @@ def test_audit_continuous_through_real_backend(rng, tmp_path):
         assert r["final_decision"] in ("accept", "reject", "abstain")
 
 
-def test_spec_continuous_matches_plain():
+@pytest.mark.parametrize("kv_dtype", ["bf16", "int8"])
+def test_spec_continuous_matches_plain(kv_dtype):
     """Speculative continuous batching (per-slot draft-k/verify-1
     cycles) must emit EXACTLY each request's plain greedy stream —
     with a disagreeing draft (worst case: every cycle emits one
     token) AND with the target drafting for itself (every cycle
-    accepts all k proposals, stressing the multi-token advance)."""
+    accepts all k proposals, stressing the multi-token advance);
+    composed with the s8 KV cache too."""
     cfg = tiny_config()
     model, params = init_params(cfg, 0)
     dmodel, dparams = init_params(cfg, 7)
@@ -284,11 +286,13 @@ def test_spec_continuous_matches_plain():
     budgets = [10, 4, 12, 7, 9]
     for i, r in enumerate(reqs):
         r["max_new_tokens"] = budgets[i]
-    expected = plain_rows(model, params, reqs, budgets, eos=-1)
+    expected = plain_rows(model, params, reqs, budgets, eos=-1,
+                          kv_dtype=kv_dtype)
     for dm, dp in ((dmodel, dparams), (model, params)):
         srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=16,
                                 max_new_tokens=12, eos_token_id=-1, chunk=3,
-                                draft_model=dm, draft_params=dp, spec_k=2)
+                                draft_model=dm, draft_params=dp, spec_k=2,
+                                kv_dtype=kv_dtype)
         got = srv.serve(reqs)
         for i, (g, e) in enumerate(zip(got, expected)):
             np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
