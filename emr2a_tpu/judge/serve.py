@@ -219,6 +219,13 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bf16", "int8", "int4"])
     parser.add_argument("--kv_cache", default="bf16",
                         choices=["bf16", "int8"])
+    parser.add_argument("--draft_model", default=None,
+                        help="small same-vocabulary draft checkpoint: "
+                             "all-greedy waves serve through "
+                             "speculative continuous batching "
+                             "(lossless draft-k/verify-1 cycles per "
+                             "slot)")
+    parser.add_argument("--spec_k", type=int, default=4)
     parser.add_argument("--follow", action="store_true",
                         help="keep tailing --input for new requests")
     parser.add_argument("--poll", type=float, default=0.5,
@@ -231,7 +238,9 @@ def main(argv=None, backend: Optional[VLMBackend] = None) -> None:
     if backend is None:
         backend = load_backend(args.model_path, device=args.device,
                                precision=args.precision,
-                               kv_dtype=args.kv_cache)
+                               kv_dtype=args.kv_cache,
+                               draft_model_path=args.draft_model,
+                               spec_k=args.spec_k)
     if backend is None:
         raise SystemExit(f"could not load backend from {args.model_path}")
     served = run(Path(args.input), Path(args.output), backend,
