@@ -326,3 +326,41 @@ def test_spec_continuous_eos_and_refill():
     # sampled requests are rejected (lossless greedy acceptance only)
     with pytest.raises(ValueError, match="greedy-only"):
         srv.serve([dict(reqs[0], temperature=0.7)], max_new_tokens=4)
+
+
+def test_audit_continuous_speculative_real_backend(rng, tmp_path):
+    """step4's --draft_model + --serving continuous composition: the
+    audit module streams through SPECULATIVE continuous batching (the
+    tiny backend drafting for itself = full acceptance) and must
+    produce the same audit results as the plain continuous path."""
+    from PIL import Image
+    from emr2a_tpu.judge.audit import VLMAuditModule
+    from emr2a_tpu.models.speculative import SpeculativeGenerator
+
+    records = []
+    for i in range(3):
+        pdir = tmp_path / f"p{i}"
+        pdir.mkdir()
+        p = pdir / "0.png"
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(p)
+        records.append({"patient_id": f"p{i}", "label": "PJP",
+                        "slices": [str(p)], "meta": {"sex": "M"}})
+    kwargs = dict(
+        retrieval_predictions=["PJP", "Viral", "Normal"],
+        retrieval_similarities=[[0.9]] * 3,
+        retrieval_labels=[["PJP"]] * 3,
+        query_patients=records,
+        top_neighbors_list=[[("p1", "PJP", 0.9)]] * 3,
+        manifest=records, max_new_tokens=6, vlm_batch_size=2,
+        serving="continuous")
+
+    be = tiny_backend()
+    plain = VLMAuditModule(backend=be).audit_batch(
+        output_dir=tmp_path / "a", **kwargs)
+    be.spec_generator = SpeculativeGenerator(
+        be.generator.model, be.generator.params, be.generator.model,
+        be.generator.params, spec_k=2,
+        eos_token_id=be.generator.eos_token_id)
+    spec = VLMAuditModule(backend=be).audit_batch(
+        output_dir=tmp_path / "b", **kwargs)
+    assert spec["audit_results"] == plain["audit_results"]
