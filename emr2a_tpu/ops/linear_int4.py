@@ -130,6 +130,14 @@ def _linear_kernel_w4_cached(x_ref, w_ref, ws_ref, b_ref, o_ref,
 
 
 _VMEM_BUDGET = 12 * 2**20
+# The streaming (large-T) path's block model misses the group-unrolled
+# dot's Mosaic stack — per-group i32 nibble expansion + s32 accumulator
+# + the f32 running sum are poorly overlapped across the 32 unrolled
+# groups.  Measured on-chip at 8B prefill shapes (K=4096, tiles
+# 256x1024): modeled 8.4 MB, actual scoped allocation 16.02 MB against
+# the 16 MB limit.  The streaming path therefore budgets against a
+# halved limit so the ~2x stack factor still lands under the cap.
+_VMEM_BUDGET_S8 = 7 * 2**20
 
 
 def _pick_tiles_w4(tp: int, K: int, N: int, tile_n_max: int,
@@ -166,7 +174,8 @@ def _pick_tiles_w4(tp: int, K: int, N: int, tile_n_max: int,
             tile_n = _halve(tile_n, 128)
         if vmem_fused(tile_t, tile_n) <= _VMEM_BUDGET:
             return tile_t, tile_n, True
-    tile_t, tile_n = _shrink(vmem_s8, min(tp, 2048), tn0)
+    tile_t, tile_n = _shrink(vmem_s8, min(tp, 2048), tn0,
+                             budget=_VMEM_BUDGET_S8)
     return tile_t, tile_n, False
 
 

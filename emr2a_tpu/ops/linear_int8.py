@@ -92,12 +92,12 @@ def _halve(tile: int, align: int) -> int:
     return max(align, -(-(tile // 2) // align) * align)
 
 
-def _shrink(vmem, tile_t, tile_n):
-    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 256:
+def _shrink(vmem, tile_t, tile_n, budget=_VMEM_BUDGET):
+    while vmem(tile_t, tile_n) > budget and tile_t > 256:
         tile_t = _halve(tile_t, 32)
-    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_n > 128:
+    while vmem(tile_t, tile_n) > budget and tile_n > 128:
         tile_n = _halve(tile_n, 128)
-    while vmem(tile_t, tile_n) > _VMEM_BUDGET and tile_t > 32:
+    while vmem(tile_t, tile_n) > budget and tile_t > 32:
         tile_t = _halve(tile_t, 32)
     return tile_t, tile_n
 
