@@ -492,18 +492,46 @@ class ContinuousBatcher:
                     return True
             return False
 
+        def dispatch():
+            if spec:
+                self._state, toks, accs = chunk_fn(
+                    self.params, self.draft_params, self._state,
+                    jnp.asarray(active))
+                return toks, accs
+            self._state, toks = chunk_fn(
+                self.params, self._state, jnp.asarray(active))
+            return toks, None
+
+        def survives_chunk() -> bool:
+            # A slot is guaranteed to outlive the lookahead chunk
+            # (absent eos) when its remaining budget exceeds the max
+            # emission of BOTH the still-unread current chunk and the
+            # lookahead; if no slot qualifies the lookahead would
+            # likely be dead work, so skip it.
+            cap = 2 * self.chunk * (self.spec_k + 1 if spec else 1)
+            return any(r is not None and budgets[r] - len(emitted[r]) > cap
+                       for r in slot_req)
+
         try:
             refill()
+            ahead = None
             while any(r is not None for r in slot_req):
+                cur = ahead if ahead is not None else dispatch()
+                # Tail phase (empty queue): the slot map cannot change
+                # at this boundary, so the next chunk's inputs are
+                # already final — enqueue it BEFORE blocking on this
+                # chunk's readback, hiding one host<->device round trip
+                # per chunk.  Tokens past a row's eos/budget are
+                # discarded by emit_row exactly as within-chunk overrun
+                # is; an eos that empties every slot mid-chunk makes the
+                # lookahead dead work once, at stream end.
+                ahead = (dispatch()
+                         if not queue and survives_chunk() else None)
+                toks, accs = cur
                 if spec:
-                    self._state, toks, accs = chunk_fn(
-                        self.params, self.draft_params, self._state,
-                        jnp.asarray(active))
                     toks = np.asarray(toks)   # (n_slots, chunk, k+1)
                     accs = np.asarray(accs)   # (n_slots, chunk)
                 else:
-                    self._state, toks = chunk_fn(
-                        self.params, self._state, jnp.asarray(active))
                     toks = np.asarray(toks)[:, :, None]  # (B, chunk, 1)
                     accs = np.zeros(toks.shape[:2], np.int64)
                 for s in range(self.n_slots):
