@@ -134,7 +134,8 @@ class VLMAuditModule:
                  abstain_threshold: float = 0.5,
                  backend: Optional[VLMBackend] = None,
                  precision: str = "bf16", kv_dtype: str = "bf16",
-                 draft_model_path: Optional[str] = None):
+                 draft_model_path: Optional[str] = None,
+                 prefill_chunk: Optional[int] = None):
         self.model_path = model_path
         self.device = device
         self.max_retries = max_retries
@@ -144,7 +145,8 @@ class VLMAuditModule:
         self.backend = backend if backend is not None \
             else load_backend(model_path, device, precision=precision,
                               kv_dtype=kv_dtype,
-                              draft_model_path=draft_model_path)
+                              draft_model_path=draft_model_path,
+                              prefill_chunk=prefill_chunk)
 
     # -- evidence --
 

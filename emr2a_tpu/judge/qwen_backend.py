@@ -58,7 +58,8 @@ class QwenVLBackend:
                  kv_dtype: str = "bf16",
                  draft_model_path: Optional[str] = None,
                  draft_config=None, draft_params=None, spec_k: int = 4,
-                 decode_chunk: Optional[int] = 64):
+                 decode_chunk: Optional[int] = 64,
+                 prefill_chunk: Optional[int] = None):
         """``precision="int8"`` quantizes the decoder projections W8A8
         (models/quantize.quantize_qwen_text_params) — decode is weight-
         bandwidth-bound, int8 nearly halves the stream; tiny-model
@@ -91,11 +92,18 @@ class QwenVLBackend:
         early exit: short answers under a long max_new budget stop
         paying the weight stream at their real length (bit-identical
         tokens — Qwen3VLGenerator.generate(chunk=...)).  None restores
-        the one-shot scan."""
+        the one-shot scan.
+
+        ``prefill_chunk=C`` runs the prompt through the decoder in
+        C-token slices (models/qwen3_vl.chunked_prefill, bit-identical
+        output), bounding the (B, heads, S, L) f32 attention temps that
+        otherwise OOM large-batch (B>=16 at 8B) or long-bucket
+        prefill."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         self.standardize_images = standardize_images
         self.decode_chunk = decode_chunk
+        self.prefill_chunk = prefill_chunk
         config, params = _load_qwen3_vl(model_path, config, params,
                                         cache_params)
         if tokenizer is None and model_path is not None:
@@ -121,7 +129,8 @@ class QwenVLBackend:
         eos = getattr(tokenizer, "eos_token_id", None) or 151645
         self.generator = Qwen3VLGenerator(self.model, params,
                                           eos_token_id=int(eos),
-                                          kv_dtype=kv_dtype)
+                                          kv_dtype=kv_dtype,
+                                          prefill_chunk=prefill_chunk)
         self.spec_generator = None
         if draft_model_path is not None or draft_params is not None:
             from emr2a_tpu.models.speculative import SpeculativeGenerator
@@ -327,7 +336,8 @@ class QwenVLBackend:
                 n_slots=n_slots, prompt_bucket=bucket,
                 max_new_tokens=max_new_tokens,
                 eos_token_id=self.generator.eos_token_id,
-                kv_dtype=self.generator.kv_dtype, **spec_kwargs)
+                kv_dtype=self.generator.kv_dtype,
+                prefill_chunk=self.prefill_chunk, **spec_kwargs)
         reqs = []
         for i, (ids, patches, grids) in enumerate(rows):
             t = float(requests[i].get("temperature", temperature) or 0.0)

@@ -574,9 +574,12 @@ class QwenTextModel(nn.Module):
 
     def __call__(self, inputs_embeds, position_ids, cache=None, cache_pos=0,
                  attn_mask=None, visual_mask=None, deepstack=None,
-                 return_hidden: bool = False):
+                 visual_gather_idx=None, return_hidden: bool = False):
         """inputs_embeds (B,S,D); position_ids (3,B,S); cache: list of
         per-layer (k,v) or None; attn_mask (B,S,L) additive.
+        ``visual_gather_idx`` (B,S) overrides the in-call cumsum gather
+        into the deepstack table — chunked prefill passes a slice of the
+        full-prompt index (the cumsum must not restart per chunk).
         Returns (logits_or_hidden, new_cache)."""
         cfg = self.config
         x = inputs_embeds
@@ -600,7 +603,9 @@ class QwenTextModel(nn.Module):
                 # add deepstack features at visual token positions:
                 # gather rows by cumsum index, mask off text positions.
                 ds = deepstack[i]  # (n_visual, D)
-                gather_idx = visual_gather_indices(visual_mask, ds.shape[0])
+                gather_idx = (visual_gather_idx
+                              if visual_gather_idx is not None else
+                              visual_gather_indices(visual_mask, ds.shape[0]))
                 add = ds[gather_idx]  # (B, S, D)
                 x = x + jnp.where(visual_mask[..., None],
                                   add.astype(x.dtype), 0)
@@ -790,12 +795,72 @@ def empty_kv_cache(text_cfg, batch: int, max_len: int, kv_dtype: str):
             for _ in range(text_cfg.num_layers)]
 
 
+def chunked_prefill(model: Qwen3VLModel, params, input_ids, position_ids,
+                    true_len, pixel_patches, grid_thw, padded_len: int,
+                    max_len: int, cache, C: int):
+    """Sequence-chunked prefill: embed the full prompt once (the
+    visual splice and deepstack gather are whole-prompt cumsums), then
+    ``lax.scan`` the decoder over padded_len/C chunks, each writing
+    its KV rows at ``cache_pos = chunk_index * C``.
+
+    Numerically identical to the one-shot prefill
+    (tests/test_qwen3_vl_parity.py): each chunk's queries attend the
+    same masked key set (later cache rows are -inf-masked zeros either
+    way), so logits, softmax and the s8 KV quantization see identical
+    inputs.  What changes is the temp footprint — the per-layer
+    (B, heads, S, L) f32 attention logits become (B, heads, C, L), the
+    term that OOMs B>=16 batched or long-bucket prefill — and the
+    weight traffic (each chunk re-reads the decoder weights).
+    Returns (hidden (B, padded_len, D), cache)."""
+    if padded_len % C:
+        raise ValueError(
+            f"prefill_chunk {C} must divide the prompt bucket "
+            f"{padded_len}")
+    n = padded_len // C
+    B = input_ids.shape[0]
+    embeds, visual_mask, deepstack = model.apply(
+        {"params": params}, input_ids, pixel_patches, grid_thw,
+        method=Qwen3VLModel.embed_multimodal)
+    vg_full = None
+    if visual_mask is not None and deepstack:
+        vg_full = visual_gather_indices(visual_mask, deepstack[0].shape[0])
+    D = embeds.shape[-1]
+    xs = {"emb": embeds.reshape(B, n, C, D).swapaxes(0, 1),  # (n, B, C, D)
+          "pos": position_ids.reshape(3, B, n, C).transpose(2, 0, 1, 3),
+          "ci": jnp.arange(n, dtype=jnp.int32)}
+    if visual_mask is not None:
+        xs["vm"] = visual_mask.reshape(B, n, C).swapaxes(0, 1)
+        if vg_full is not None:
+            xs["vg"] = vg_full.reshape(B, n, C).swapaxes(0, 1)
+    k_idx = jnp.arange(max_len)[None, None, :]
+
+    def chunk_step(cache, x):
+        q_abs = x["ci"] * C + jnp.arange(C)
+        mask = jnp.where(
+            (k_idx <= q_abs[None, :, None])
+            & (k_idx < true_len[:, None, None]),
+            0.0, -jnp.inf).astype(jnp.float32)  # (B, C, max)
+        hidden_c, cache = model.apply(
+            {"params": params}, x["emb"], x["pos"], cache=cache,
+            cache_pos=x["ci"] * C, attn_mask=mask,
+            visual_mask=x.get("vm"), deepstack=deepstack,
+            visual_gather_idx=x.get("vg"), return_hidden=True,
+            method=lambda m, *a, **kw: m.language_model(*a, **kw))
+        return cache, hidden_c
+
+    cache, hidden = jax.lax.scan(chunk_step, cache, xs)
+    # (n, B, C, D) -> (B, S, D)
+    hidden = hidden.swapaxes(0, 1).reshape(B, padded_len, D)
+    return hidden, cache
+
+
 class Qwen3VLGenerator:
     """Prefill + scan-decode greedy/sampled generation over a static
     KV cache.  One compile per (prompt bucket, max_new_tokens)."""
 
     def __init__(self, model: Qwen3VLModel, params, max_new_tokens: int = 1024,
-                 eos_token_id: int = 151645, kv_dtype: str = "bf16"):
+                 eos_token_id: int = 151645, kv_dtype: str = "bf16",
+                 prefill_chunk: Optional[int] = None):
         self.model = model
         self.params = params
         self.config = model.config
@@ -804,6 +869,13 @@ class Qwen3VLGenerator:
         if kv_dtype not in ("bf16", "int8"):
             raise ValueError(f"kv_dtype must be bf16 or int8: {kv_dtype}")
         self.kv_dtype = kv_dtype
+        # Chunked prefill: run the prompt through the decoder in
+        # prefill_chunk-token slices (lax.scan) instead of one full-S
+        # pass.  Bounds the per-layer (B, heads, S, L) f32 attention
+        # temps to (B, heads, chunk, L) — the term that OOMs batched
+        # (B>=16) or long-bucket prefill — at the cost of re-reading
+        # the weights once per chunk.
+        self.prefill_chunk = prefill_chunk
         self._jitted: Dict = {}
 
     def _empty_cache(self, batch: int, max_len: int):
@@ -834,16 +906,22 @@ class Qwen3VLGenerator:
         (cache, last-position logits, per-row next rope position)."""
         B = input_ids.shape[0]
         cache = self._empty_cache(B, max_len)
-        q_idx = jnp.arange(padded_len)[None, :, None]
-        k_idx = jnp.arange(max_len)[None, None, :]
-        mask = jnp.where(
-            (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
-            0.0, -jnp.inf).astype(jnp.float32)  # (B, padded, max)
-        hidden, cache = self.model.apply(
-            {"params": params}, input_ids, position_ids,
-            pixel_patches=pixel_patches, grid_thw=grid_thw,
-            cache=cache, cache_pos=0, attn_mask=mask,
-            return_hidden=True)
+        C = self.prefill_chunk
+        if C and padded_len > C:
+            hidden, cache = self._prefill_chunked(
+                params, input_ids, position_ids, true_len, pixel_patches,
+                grid_thw, padded_len, max_len, cache, C)
+        else:
+            q_idx = jnp.arange(padded_len)[None, :, None]
+            k_idx = jnp.arange(max_len)[None, None, :]
+            mask = jnp.where(
+                (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
+                0.0, -jnp.inf).astype(jnp.float32)  # (B, padded, max)
+            hidden, cache = self.model.apply(
+                {"params": params}, input_ids, position_ids,
+                pixel_patches=pixel_patches, grid_thw=grid_thw,
+                cache=cache, cache_pos=0, attn_mask=mask,
+                return_hidden=True)
         # Project ONLY the last true prompt position of each row to
         # the vocab (full-prompt logits would materialize (B, S, vocab)).
         last_hidden = hidden[jnp.arange(B), true_len - 1]  # (B, D)
@@ -853,6 +931,13 @@ class Qwen3VLGenerator:
         # per-row next position (rows may have different content)
         next_pos_base = position_ids.max(axis=(0, 2)) + 1  # (B,)
         return cache, last_logits, next_pos_base
+
+    def _prefill_chunked(self, params, input_ids, position_ids, true_len,
+                         pixel_patches, grid_thw, padded_len: int,
+                         max_len: int, cache, C: int):
+        return chunked_prefill(self.model, params, input_ids,
+                               position_ids, true_len, pixel_patches,
+                               grid_thw, padded_len, max_len, cache, C)
 
     def _decode_step(self, params, padded_len: int, max_len: int, sample,
                      true_len, next_pos_base):

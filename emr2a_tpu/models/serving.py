@@ -40,6 +40,7 @@ import numpy as np
 
 from emr2a_tpu.models.qwen3_vl import (
     Qwen3VLModel,
+    chunked_prefill,
     compute_mrope_position_ids,
     empty_kv_cache,
     sample_rows,
@@ -62,7 +63,8 @@ class ContinuousBatcher:
                  prompt_bucket: int = 1024, max_new_tokens: int = 1024,
                  eos_token_id: int = 151645, kv_dtype: str = "bf16",
                  chunk: int = 16, draft_model: Optional[Qwen3VLModel] = None,
-                 draft_params=None, spec_k: int = 4):
+                 draft_params=None, spec_k: int = 4,
+                 prefill_chunk: Optional[int] = None):
         """``draft_model/draft_params`` turn every slot speculative:
         each chunk iteration becomes a draft-k/verify-1 cycle (the
         draft proposes ``spec_k`` tokens per slot, the target verifies
@@ -100,6 +102,10 @@ class ContinuousBatcher:
         per_iter = (self.spec_k + 1) if draft_model is not None else 1
         self.max_len = (self.prompt_bucket + self.max_new_tokens
                         + self.chunk * per_iter)
+        # Sequence-chunked refill prefill (models/qwen3_vl.py
+        # chunked_prefill): bounds the (1, heads, bucket, max_len) f32
+        # attention temps at long prompt buckets.
+        self.prefill_chunk = prefill_chunk
         self._prefill_fns: Dict = {}
         self._draft_prefill_fns: Dict = {}
         self._insert_fn = None
@@ -132,21 +138,27 @@ class ContinuousBatcher:
     # -- compiled programs ---------------------------------------------------
 
     def _build_prefill(self, grid_thw):
-        P, max_len = self.prompt_bucket, self.max_len
+        P, max_len, C = self.prompt_bucket, self.max_len, self.prefill_chunk
 
         def run(params, input_ids, position_ids, true_len, pixel_patches):
             cache = empty_kv_cache(self.config.text, 1, max_len,
                                    self.kv_dtype)
-            q_idx = jnp.arange(P)[None, :, None]
-            k_idx = jnp.arange(max_len)[None, None, :]
-            mask = jnp.where(
-                (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
-                0.0, -jnp.inf).astype(jnp.float32)
-            hidden, cache = self.model.apply(
-                {"params": params}, input_ids, position_ids,
-                pixel_patches=pixel_patches, grid_thw=grid_thw,
-                cache=cache, cache_pos=0, attn_mask=mask,
-                return_hidden=True)
+            if C and P > C:
+                hidden, cache = chunked_prefill(
+                    self.model, params, input_ids, position_ids,
+                    true_len, pixel_patches, grid_thw, P, max_len,
+                    cache, C)
+            else:
+                q_idx = jnp.arange(P)[None, :, None]
+                k_idx = jnp.arange(max_len)[None, None, :]
+                mask = jnp.where(
+                    (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
+                    0.0, -jnp.inf).astype(jnp.float32)
+                hidden, cache = self.model.apply(
+                    {"params": params}, input_ids, position_ids,
+                    pixel_patches=pixel_patches, grid_thw=grid_thw,
+                    cache=cache, cache_pos=0, attn_mask=mask,
+                    return_hidden=True)
             last_hidden = hidden[jnp.arange(1), true_len - 1]
             logits = self.model.apply(
                 {"params": params}, last_hidden,

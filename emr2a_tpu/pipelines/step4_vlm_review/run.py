@@ -85,7 +85,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            draft_model_path: Optional[str] = None,
                            vlm_batch_size: int = 1,
                            serving: str = "static",
-                           vlm_max_new_tokens: int = 1024) -> Dict:
+                           vlm_max_new_tokens: int = 1024,
+                           prefill_chunk: Optional[int] = None) -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
 
@@ -158,6 +159,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
     audit_module = VLMAuditModule(
         model_path=model_path, device=device, precision=precision,
         kv_dtype=kv_dtype, draft_model_path=draft_model_path,
+        prefill_chunk=prefill_chunk,
         accept_threshold=accept_threshold, reject_threshold=reject_threshold,
         abstain_threshold=abstain_threshold, backend=backend)
 
@@ -283,6 +285,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "residency/stream (scales folded into the "
                              "attention math), doubling batched-serving "
                              "KV headroom")
+    parser.add_argument("--prefill_chunk", type=int, default=None,
+                        help="sequence-chunked prompt prefill (C tokens "
+                             "per pass, bit-identical output): bounds "
+                             "the f32 attention temps that OOM large "
+                             "--vlm_batch_size or long prompt buckets")
     parser.add_argument("--draft_model", default=None,
                         help="path to a small same-vocabulary draft "
                              "checkpoint (e.g. the 2B judge) enabling "
@@ -335,6 +342,7 @@ def main(argv=None) -> None:
         model_path=args.model_path, device=args.device, seed=args.seed,
         precision=args.precision, kv_dtype=args.kv_cache,
         draft_model_path=args.draft_model,
+        prefill_chunk=args.prefill_chunk,
         vlm_batch_size=args.vlm_batch_size, serving=args.serving,
         vlm_max_new_tokens=args.vlm_max_new_tokens,
         accept_threshold=args.accept_threshold,

@@ -219,6 +219,12 @@ def main():
                     help="audit cases served per prefill+decode "
                          "(heterogeneous prompt lengths, per-row "
                          "true_lens — the generate_batch serving path)")
+    ap.add_argument("--prefill_chunk", type=int, default=None,
+                    help="sequence-chunked prefill: scan the prompt "
+                         "through the decoder in this many tokens per "
+                         "step, bounding the (B, heads, S, L) f32 "
+                         "attention temps that OOM B>=16 or long "
+                         "buckets")
     args = ap.parse_args()
     what = set(args.what.split(","))
     if args.geometry == "8b" and args.precision == "bf16":
@@ -240,6 +246,8 @@ def main():
             rec["temperature"] = args.temperature
         if args.kv != "bf16":
             rec["kv"] = args.kv
+        if args.prefill_chunk:
+            rec["prefill_chunk"] = args.prefill_chunk
         records.append(rec)
         print(json.dumps(rec), flush=True)
         if args.json_out:  # flush per metric — a later crash (e.g. the
@@ -301,12 +309,16 @@ def main():
               "on device)", flush=True)
 
         gen = Qwen3VLGenerator(model, params, eos_token_id=-1,  # never stop
-                               kv_dtype=args.kv)
+                               kv_dtype=args.kv,
+                               prefill_chunk=args.prefill_chunk)
         rng = np.random.RandomState(0)
         B = args.batch
         vocab_hi = cfg.text.vocab_size - 2
         plen = 24 if args.geometry == "tiny" else 980
         prompt = rng.randint(2, vocab_hi, (B, plen), np.int64)
+        # a random id can land on the image placeholder, which demands
+        # matching grid_thw entries — remap it (hit once at B=32 x 980)
+        prompt[prompt == cfg.image_token_id] = 2
         # heterogeneous rows: the batched audit path pads shorter
         # prompts to the shared bucket with per-row true_lens
         true_lens = (None if B == 1 else

@@ -239,6 +239,49 @@ def test_chunked_decode_equals_one_shot(hf, rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_chunked_prefill_equals_one_shot(hf, rng):
+    """prefill_chunk=C (sequence-chunked prompt pass, lax.scan over
+    C-token slices) must reproduce the one-shot prefill exactly: each
+    chunk's queries attend the same -inf-masked key set, so logits,
+    the KV cache, and the greedy continuation are identical.  Covers a
+    2-row mixed-content batch, the multimodal path (the image block
+    spans chunk boundaries, exercising the sliced whole-prompt
+    deepstack gather), and composition with the s8 KV cache."""
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+    gen = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1)
+    gen_c = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1,
+                             prefill_chunk=4)
+
+    ids = np.array([[3, 5, 8, 13, 21, 34, 55, 89, 144, 6, 7],
+                    [7, 2, 9, 31, 4, 16, 25, 36, 49, 64, 81]],
+                   dtype=np.int64)
+    a = gen.generate(ids, max_new_tokens=8, prompt_bucket=16)
+    b = gen_c.generate(ids, max_new_tokens=8, prompt_bucket=16)
+    np.testing.assert_array_equal(a, b)
+
+    # multimodal: 64 image tokens span many 4-token chunks
+    pixels, grid = make_pixels(rng)
+    mm_ids = build_multimodal_ids(cfg, grid, [5, 6, 7])
+    gtup = tuple(tuple(int(x) for x in g) for g in grid)
+    a = gen.generate(mm_ids, pixel_patches=pixels, grid_thw=gtup,
+                     max_new_tokens=6, prompt_bucket=8)
+    b = gen_c.generate(mm_ids, pixel_patches=pixels, grid_thw=gtup,
+                       max_new_tokens=6, prompt_bucket=8)
+    np.testing.assert_array_equal(a, b)
+
+    # s8 KV cache: per-chunk quantize-at-write must equal one-shot
+    gen_q = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1,
+                             kv_dtype="int8")
+    gen_qc = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1,
+                              kv_dtype="int8", prefill_chunk=8)
+    a = gen_q.generate(ids, max_new_tokens=8, prompt_bucket=16)
+    b = gen_qc.generate(ids, max_new_tokens=8, prompt_bucket=16)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_int8_kv_cache_token_agreement(hf, rng):
     """kv_dtype="int8" (s8 KV cache + scales folded into the attention
     math) must reproduce the bf16-cache greedy tokens — single row,

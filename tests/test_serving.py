@@ -95,6 +95,23 @@ def test_continuous_int8_kv():
         np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
 
 
+def test_continuous_chunked_prefill_matches_plain():
+    """prefill_chunk on the batcher (sequence-chunked refill prefills)
+    must not change any emitted token — the chunked pass is bit-equal
+    to the one-shot prefill."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    reqs = text_requests(5, seed=7)
+    budgets = [9] * len(reqs)
+    expected = plain_rows(model, params, reqs, budgets, eos=-1)
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=16,
+                            max_new_tokens=9, eos_token_id=-1, chunk=4,
+                            prefill_chunk=4)
+    got = srv.serve(reqs, max_new_tokens=9)
+    for i, (g, e) in enumerate(zip(got, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
 def test_continuous_multimodal_mixed_with_text():
     cfg = tiny_config()
     model, params = init_params(cfg, 0, with_vision=True)
