@@ -226,6 +226,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(lossless draft-k/verify-1 cycles per "
                              "slot)")
     parser.add_argument("--spec_k", type=int, default=4)
+    parser.add_argument("--prefill_chunk", type=int, default=None,
+                        help="sequence-chunked prompt prefill (C tokens "
+                             "per pass, bit-identical output) — needed "
+                             "for long prompt buckets / large batches")
     parser.add_argument("--follow", action="store_true",
                         help="keep tailing --input for new requests")
     parser.add_argument("--poll", type=float, default=0.5,
@@ -240,7 +244,8 @@ def main(argv=None, backend: Optional[VLMBackend] = None) -> None:
                                precision=args.precision,
                                kv_dtype=args.kv_cache,
                                draft_model_path=args.draft_model,
-                               spec_k=args.spec_k)
+                               spec_k=args.spec_k,
+                               prefill_chunk=args.prefill_chunk)
     if backend is None:
         raise SystemExit(f"could not load backend from {args.model_path}")
     served = run(Path(args.input), Path(args.output), backend,

@@ -19,11 +19,14 @@ class Qwen3LLM(BaseLLM):
     def __init__(self, model_path: str, device: str = "tpu",
                  dtype: str = "bfloat16", backend=None,
                  precision: str = "bf16", kv_dtype: str = "bf16",
-                 draft_model_path: str = None):
+                 draft_model_path: str = None,
+                 prefill_chunk: int = None):
         """The serving knobs mirror the judge backend's: ``precision``
         (bf16/int8/int4 decoder weights), ``kv_dtype`` (int8 halves KV
         residency/stream), ``draft_model_path`` (lossless greedy
-        speculative decoding — see judge/qwen_backend.py)."""
+        speculative decoding), ``prefill_chunk`` (sequence-chunked
+        prompt prefill for long buckets / large batches — see
+        judge/qwen_backend.py)."""
         super().__init__(device)
         self.model_path = model_path
         self.dtype = dtype
@@ -31,7 +34,8 @@ class Qwen3LLM(BaseLLM):
             from emr2a_tpu.judge.backends import load_backend
             backend = load_backend(model_path, device, precision=precision,
                                    kv_dtype=kv_dtype,
-                                   draft_model_path=draft_model_path)
+                                   draft_model_path=draft_model_path,
+                                   prefill_chunk=prefill_chunk)
         if backend is None:
             raise RuntimeError(f"Failed to load Qwen3-VL from {model_path}")
         self.backend = backend

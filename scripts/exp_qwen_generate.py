@@ -219,6 +219,13 @@ def main():
                     help="audit cases served per prefill+decode "
                          "(heterogeneous prompt lengths, per-row "
                          "true_lens — the generate_batch serving path)")
+    ap.add_argument("--prompt_len", type=int, default=None,
+                    help="real token count per prompt row (default: 24 "
+                         "tiny / 980 otherwise)")
+    ap.add_argument("--bucket", type=int, default=None,
+                    help="prompt bucket (default: 32 tiny / 1024 "
+                         "otherwise); long buckets need "
+                         "--prefill_chunk")
     ap.add_argument("--prefill_chunk", type=int, default=None,
                     help="sequence-chunked prefill: scan the prompt "
                          "through the decoder in this many tokens per "
@@ -314,7 +321,7 @@ def main():
         rng = np.random.RandomState(0)
         B = args.batch
         vocab_hi = cfg.text.vocab_size - 2
-        plen = 24 if args.geometry == "tiny" else 980
+        plen = args.prompt_len or (24 if args.geometry == "tiny" else 980)
         prompt = rng.randint(2, vocab_hi, (B, plen), np.int64)
         # a random id can land on the image placeholder, which demands
         # matching grid_thw entries — remap it (hit once at B=32 x 980)
@@ -325,7 +332,7 @@ def main():
                      np.asarray([plen - (plen // 16) * (b % 4)
                                  for b in range(B)], np.int32))
 
-        bucket = 32 if args.geometry == "tiny" else 1024
+        bucket = args.bucket or (32 if args.geometry == "tiny" else 1024)
         times = {}
         for max_new in ((8, 24) if args.geometry == "tiny" else (32, 96)):
             t0 = time.time()
@@ -357,7 +364,7 @@ def main():
         print(f"decode weight-bandwidth: {bw:.0f} GB/s "
               f"(excl. {embed_bytes/2**30:.2f} GiB embed table; chip "
               "stream rate 853)")
-        emit("judge_prefill_1024", prefill * 1000, "ms")
+        emit(f"judge_prefill_{bucket}", prefill * 1000, "ms")
         emit("judge_decode", B / per_tok, "tok/s")  # aggregate over batch
         emit("judge_decode_weight_bw", bw, "GB/s")
         emit("judge_params_resident", n_bytes / 2**30, "GiB")
