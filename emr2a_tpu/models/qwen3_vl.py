@@ -854,6 +854,36 @@ def chunked_prefill(model: Qwen3VLModel, params, input_ids, position_ids,
     return hidden, cache
 
 
+# Per-layer f32 attention-temp budget for one-shot prefill.  3.5 GiB
+# keeps every measured config one-shot where one-shot is known to fit
+# (B=16 @ bucket 1024 is 3.2 GiB and serves with the s8 KV cache —
+# PERF_NOTES) while the measured OOMs (B=32 @ 1024: 6.4 GiB/layer;
+# B=8 @ bucket 4096: ~17 GiB/layer) auto-chunk.
+_PREFILL_TEMP_BUDGET = int(3.5 * 2**30)
+
+
+def auto_prefill_chunk(batch: int, num_heads: int, padded_len: int,
+                       max_len: int,
+                       budget: Optional[int] = None) -> Optional[int]:
+    """Pick a prefill chunk so the per-layer ``(B, heads, C, max_len)``
+    f32 attention temp stays under ``budget`` bytes, or ``None`` when
+    the one-shot prefill already fits.  Callers use this when the user
+    gave no explicit ``prefill_chunk``, so large batches / long prompt
+    buckets serve without knowing the flag instead of OOMing mid-
+    prefill.  Halves from ``padded_len`` (the chunk must divide the
+    bucket — power-of-two buckets always reach a fitting chunk) and
+    stops at an odd size."""
+    if budget is None:
+        budget = _PREFILL_TEMP_BUDGET
+    per_row = batch * num_heads * max_len * 4
+    if padded_len * per_row <= budget:
+        return None
+    C = padded_len
+    while C % 2 == 0 and C > 1 and C * per_row > budget:
+        C //= 2
+    return C
+
+
 class Qwen3VLGenerator:
     """Prefill + scan-decode greedy/sampled generation over a static
     KV cache.  One compile per (prompt bucket, max_new_tokens)."""
@@ -874,7 +904,8 @@ class Qwen3VLGenerator:
         # pass.  Bounds the per-layer (B, heads, S, L) f32 attention
         # temps to (B, heads, chunk, L) — the term that OOMs batched
         # (B>=16) or long-bucket prefill — at the cost of re-reading
-        # the weights once per chunk.
+        # the weights once per chunk.  None = auto: chunk only when
+        # the one-shot temps would blow the budget (auto_prefill_chunk).
         self.prefill_chunk = prefill_chunk
         self._jitted: Dict = {}
 
@@ -907,6 +938,10 @@ class Qwen3VLGenerator:
         B = input_ids.shape[0]
         cache = self._empty_cache(B, max_len)
         C = self.prefill_chunk
+        if C is None:
+            # no explicit chunk: auto-chunk iff one-shot would OOM
+            C = auto_prefill_chunk(B, self.config.text.num_heads,
+                                   padded_len, max_len)
         if C and padded_len > C:
             hidden, cache = self._prefill_chunked(
                 params, input_ids, position_ids, true_len, pixel_patches,

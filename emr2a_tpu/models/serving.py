@@ -40,6 +40,7 @@ import numpy as np
 
 from emr2a_tpu.models.qwen3_vl import (
     Qwen3VLModel,
+    auto_prefill_chunk,
     chunked_prefill,
     compute_mrope_position_ids,
     empty_kv_cache,
@@ -104,7 +105,14 @@ class ContinuousBatcher:
                         + self.chunk * per_iter)
         # Sequence-chunked refill prefill (models/qwen3_vl.py
         # chunked_prefill): bounds the (1, heads, bucket, max_len) f32
-        # attention temps at long prompt buckets.
+        # attention temps at long prompt buckets.  When the caller
+        # gave no explicit chunk, auto-chunk iff the one-shot B=1
+        # refill prefill would blow the temp budget (very long
+        # buckets) so the batcher never OOMs on prompt length.
+        if prefill_chunk is None:
+            prefill_chunk = auto_prefill_chunk(
+                1, model.config.text.num_heads, self.prompt_bucket,
+                self.max_len)
         self.prefill_chunk = prefill_chunk
         self._prefill_fns: Dict = {}
         self._draft_prefill_fns: Dict = {}
@@ -172,11 +180,17 @@ class ContinuousBatcher:
         """Cache-only prefill of the DRAFT model (the draft's first
         proposal comes from feeding the target's first token, so its
         prefill logits are never used)."""
-        P, max_len = self.prompt_bucket, self.max_len
+        P, max_len, C = self.prompt_bucket, self.max_len, self.prefill_chunk
 
         def run(dparams, input_ids, position_ids, true_len, pixel_patches):
             cache = empty_kv_cache(self.draft_model.config.text, 1,
                                    max_len, self.kv_dtype)
+            if C and P > C:
+                _, cache = chunked_prefill(
+                    self.draft_model, dparams, input_ids, position_ids,
+                    true_len, pixel_patches, grid_thw, P, max_len,
+                    cache, C)
+                return cache
             q_idx = jnp.arange(P)[None, :, None]
             k_idx = jnp.arange(max_len)[None, None, :]
             mask = jnp.where(

@@ -282,6 +282,50 @@ def test_chunked_prefill_equals_one_shot(hf, rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_auto_prefill_chunk(hf, monkeypatch):
+    """prefill_chunk=None auto-chunks only when the one-shot prefill's
+    per-layer (B, heads, S, L) f32 attention temps would blow the HBM
+    budget (the measured B=32 / long-bucket OOMs — PERF_NOTES), so
+    large batches and long prompt buckets serve without the flag; the
+    auto-chunked stream must equal the one-shot tokens."""
+    from emr2a_tpu.models import qwen3_vl as q
+    from emr2a_tpu.models.serving import ContinuousBatcher
+
+    # Arithmetic at the real 8B text geometry (heads=32):
+    # B=16 @ bucket 1024 (3.2 GiB temps) measured serving one-shot
+    assert q.auto_prefill_chunk(16, 32, 1024, 1536) is None
+    # B=32 @ 1024 (6.4 GiB) measured OOM -> halved under budget
+    assert q.auto_prefill_chunk(32, 32, 1024, 1536) == 512
+    # B=8 @ bucket 4096 (~17 GiB) long-context case
+    assert q.auto_prefill_chunk(8, 32, 4096, 4192) == 512
+    # halving stops at an odd chunk (it must divide the bucket)
+    assert q.auto_prefill_chunk(1, 1, 1000, 1000, budget=1) == 125
+
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+    ids = np.array([[3, 5, 8, 13, 21, 34, 55, 89, 144, 6, 7],
+                    [7, 2, 9, 31, 4, 16, 25, 36, 49, 64, 81]],
+                   dtype=np.int64)
+    gen = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1)
+    a = gen.generate(ids, max_new_tokens=8, prompt_bucket=16)
+
+    # Shrink the budget so the tiny model triggers the auto path.
+    monkeypatch.setattr(q, "_PREFILL_TEMP_BUDGET", 1)
+    gen_auto = Qwen3VLGenerator(Qwen3VLModel(mycfg), params,
+                                eos_token_id=-1)
+    b = gen_auto.generate(ids, max_new_tokens=8, prompt_bucket=16)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # The batcher resolves the same auto chunk at construction (B=1
+    # refill prefills); chunked==plain token parity is pinned in
+    # tests/test_serving.py.
+    batcher = ContinuousBatcher(Qwen3VLModel(mycfg), params, n_slots=2,
+                                prompt_bucket=16, max_new_tokens=4)
+    assert batcher.prefill_chunk == 1
+
+
 def test_int8_kv_cache_token_agreement(hf, rng):
     """kv_dtype="int8" (s8 KV cache + scales folded into the attention
     math) must reproduce the bf16-cache greedy tokens — single row,
