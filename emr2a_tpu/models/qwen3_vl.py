@@ -854,12 +854,16 @@ def chunked_prefill(model: Qwen3VLModel, params, input_ids, position_ids,
     return hidden, cache
 
 
-# Per-layer f32 attention-temp budget for one-shot prefill.  3.5 GiB
-# keeps every measured config one-shot where one-shot is known to fit
-# (B=16 @ bucket 1024 is 3.2 GiB and serves with the s8 KV cache —
-# PERF_NOTES) while the measured OOMs (B=32 @ 1024: 6.4 GiB/layer;
-# B=8 @ bucket 4096: ~17 GiB/layer) auto-chunk.
-_PREFILL_TEMP_BUDGET = int(3.5 * 2**30)
+# Per-layer f32 attention-temp budget for one-shot prefill.  2 GiB is
+# conservative on purpose: the persistent set (8B W8A8 params 8.79 GiB
+# + batched s8 KV) leaves only ~4-5 GiB of HBM headroom at the large-
+# batch shapes where chunking matters, and at this budget auto
+# reproduces exactly the measured-good configs — C=256 at B=32 @
+# bucket 1024 and at B=8 @ bucket 4096 (PERF_NOTES).  Over-chunking
+# costs only extra weight re-reads that hide under batched compute
+# (B=32 chunked prefill measured linear per case); under-chunking
+# OOMs, so the budget errs small.
+_PREFILL_TEMP_BUDGET = 2 * 2**30
 
 
 def auto_prefill_chunk(batch: int, num_heads: int, padded_len: int,

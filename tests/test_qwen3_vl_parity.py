@@ -292,12 +292,12 @@ def test_auto_prefill_chunk(hf, monkeypatch):
     from emr2a_tpu.models.serving import ContinuousBatcher
 
     # Arithmetic at the real 8B text geometry (heads=32):
-    # B=16 @ bucket 1024 (3.2 GiB temps) measured serving one-shot
-    assert q.auto_prefill_chunk(16, 32, 1024, 1536) is None
-    # B=32 @ 1024 (6.4 GiB) measured OOM -> halved under budget
-    assert q.auto_prefill_chunk(32, 32, 1024, 1536) == 512
-    # B=8 @ bucket 4096 (~17 GiB) long-context case
-    assert q.auto_prefill_chunk(8, 32, 4096, 4192) == 512
+    # B=8 @ bucket 1024 (0.8 GiB temps) serves one-shot (measured)
+    assert q.auto_prefill_chunk(8, 32, 1024, 1536) is None
+    # B=32 @ 1024 (6.4 GiB) measured OOM -> the measured chunk
+    assert q.auto_prefill_chunk(32, 32, 1024, 1536) == 256
+    # B=8 @ bucket 4096 (~17 GiB) long-context -> the measured chunk
+    assert q.auto_prefill_chunk(8, 32, 4096, 4192) == 256
     # halving stops at an odd chunk (it must divide the bucket)
     assert q.auto_prefill_chunk(1, 1, 1000, 1000, budget=1) == 125
 
