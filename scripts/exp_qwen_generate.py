@@ -240,6 +240,9 @@ def main():
                  "path (dryrun_multichip)")
 
     records = []
+    # the chunk the generator actually runs with — the generate block
+    # overwrites this with the auto-resolved value when no flag is set
+    effective_chunk = {"v": args.prefill_chunk}
 
     def emit(metric, value, unit):
         rec = {"metric": metric, "value": round(float(value), 3),
@@ -253,8 +256,10 @@ def main():
             rec["temperature"] = args.temperature
         if args.kv != "bf16":
             rec["kv"] = args.kv
-        if args.prefill_chunk:
-            rec["prefill_chunk"] = args.prefill_chunk
+        if effective_chunk["v"]:
+            rec["prefill_chunk"] = effective_chunk["v"]
+            if args.prefill_chunk is None:
+                rec["prefill_chunk_auto"] = True
         records.append(rec)
         print(json.dumps(rec), flush=True)
         if args.json_out:  # flush per metric — a later crash (e.g. the
@@ -333,6 +338,15 @@ def main():
                                  for b in range(B)], np.int32))
 
         bucket = args.bucket or (32 if args.geometry == "tiny" else 1024)
+        if args.prefill_chunk is None:
+            from emr2a_tpu.models.qwen3_vl import auto_prefill_chunk
+            # the larger max_new below bounds the cache length
+            hi_new = 24 if args.geometry == "tiny" else 96
+            effective_chunk["v"] = auto_prefill_chunk(
+                B, cfg.text.num_heads, bucket, bucket + hi_new)
+            if effective_chunk["v"]:
+                print(f"auto prefill_chunk: {effective_chunk['v']}",
+                      flush=True)
         times = {}
         for max_new in ((8, 24) if args.geometry == "tiny" else (32, 96)):
             t0 = time.time()
