@@ -874,18 +874,30 @@ def auto_prefill_chunk(batch: int, num_heads: int, padded_len: int,
     the one-shot prefill already fits.  Callers use this when the user
     gave no explicit ``prefill_chunk``, so large batches / long prompt
     buckets serve without knowing the flag instead of OOMing mid-
-    prefill.  Halves from ``padded_len`` (the chunk must divide the
-    bucket — power-of-two buckets always reach a fitting chunk) and
-    stops at an odd size."""
+    prefill.  The chunk must divide the bucket (the chunked prefill is
+    a ``lax.scan`` over equal slices), so this picks the largest
+    divisor of ``padded_len`` that fits — not just repeated halving,
+    which would stop at the first odd divisor of a non-power-of-two
+    bucket even when still over budget."""
     if budget is None:
         budget = _PREFILL_TEMP_BUDGET
     per_row = batch * num_heads * max_len * 4
     if padded_len * per_row <= budget:
         return None
-    C = padded_len
-    while C % 2 == 0 and C > 1 and C * per_row > budget:
-        C //= 2
-    return C
+    best = 1
+    for d in range(1, int(padded_len ** 0.5) + 1):
+        if padded_len % d:
+            continue
+        for c in (d, padded_len // d):
+            if best < c < padded_len and c * per_row <= budget:
+                best = c
+    if best * per_row > budget:
+        import logging
+        logging.getLogger(__name__).warning(
+            "auto_prefill_chunk: even chunk=1 exceeds the %d-byte temp "
+            "budget (B=%d heads=%d max_len=%d); proceeding with 1 — "
+            "expect HBM pressure", budget, batch, num_heads, max_len)
+    return best
 
 
 class Qwen3VLGenerator:

@@ -99,10 +99,17 @@ class ContinuousBatcher:
         # chunk slack: a row that hits its budget right after a chunk
         # boundary keeps writing garbage KV until the host deactivates
         # it at the next boundary; a speculative chunk advances up to
-        # (spec_k + 1) positions per cycle
+        # (spec_k + 1) positions per cycle.  TWO chunks of slack, not
+        # one: the tail-phase lookahead (see serve()) dispatches the
+        # next chunk before this chunk's readback, so a budget-
+        # exhausted slot can stay device-active for the already-
+        # dispatched chunk too.  cache_write's (B,) scatter uses
+        # mode='drop' as a final backstop (overruns past max_len are
+        # dropped, never wrapped into other rows), but the slack is
+        # sized so the backstop is never load-bearing.
         per_iter = (self.spec_k + 1) if draft_model is not None else 1
         self.max_len = (self.prompt_bucket + self.max_new_tokens
-                        + self.chunk * per_iter)
+                        + 2 * self.chunk * per_iter)
         # Sequence-chunked refill prefill (models/qwen3_vl.py
         # chunked_prefill): bounds the (1, heads, bucket, max_len) f32
         # attention temps at long prompt buckets.  When the caller
@@ -550,7 +557,11 @@ class ContinuousBatcher:
                 # per chunk.  Tokens past a row's eos/budget are
                 # discarded by emit_row exactly as within-chunk overrun
                 # is; an eos that empties every slot mid-chunk makes the
-                # lookahead dead work once, at stream end.
+                # lookahead dead work once, at stream end.  NOTE: a
+                # budget-exhausted slot stays device-active through the
+                # already-dispatched lookahead, writing KV one chunk
+                # deeper — max_len carries 2*chunk*per_iter slack for
+                # exactly this (see __init__); keep the two in sync.
                 ahead = (dispatch()
                          if not queue and survives_chunk() else None)
                 toks, accs = cur

@@ -36,23 +36,35 @@ class RetrievalEvaluator:
         self.rng = random.Random(seed)
 
     def stratified_split(self, labels: List[str]) -> Tuple[List[int], List[int]]:
-        """Seeded per-label shuffle split. Parity: evaluator.py:26-48."""
-        label_to_indices: Dict[str, List[int]] = {}
-        for idx, label in enumerate(labels):
-            label_to_indices.setdefault(str(label), []).append(idx)
+        """Seeded per-label shuffle split.
 
-        train_idx: List[int] = []
-        test_idx: List[int] = []
-        for _, idxs in label_to_indices.items():
-            self.rng.shuffle(idxs)
-            if len(idxs) <= 1:
-                train_idx.extend(idxs)
-                continue
-            test_count = int(round(len(idxs) * self.test_ratio))
-            test_count = max(1, min(test_count, len(idxs) - 1))
-            test_idx.extend(idxs[:test_count])
-            train_idx.extend(idxs[test_count:])
+        Behavior parity with the reference (evaluator.py:26-48): the split
+        is *defined* by the order in which ``random.Random(seed)`` shuffles
+        each label group — groups visited in first-occurrence order, one
+        ``shuffle`` call per group. Any restructuring here must preserve
+        that RNG call sequence exactly or the split changes.
+        """
+        groups: Dict[str, List[int]] = {}
+        for idx, label in enumerate(labels):
+            groups.setdefault(str(label), []).append(idx)
+
+        per_group = [self._split_group(idxs) for idxs in groups.values()]
+        train_idx = [i for tr, _ in per_group for i in tr]
+        test_idx = [i for _, te in per_group for i in te]
         return train_idx, test_idx
+
+    def _split_group(self, idxs: List[int]) -> Tuple[List[int], List[int]]:
+        """Shuffle one label group in place; carve the leading test slice.
+
+        Groups of size <=1 go wholly to train (reference semantics); the
+        test count is clamped to [1, len-1] so both sides stay non-empty.
+        """
+        self.rng.shuffle(idxs)
+        if len(idxs) <= 1:
+            return idxs, []
+        n_test = max(1, min(int(round(len(idxs) * self.test_ratio)),
+                            len(idxs) - 1))
+        return idxs[n_test:], idxs[:n_test]
 
     def process_embeddings(self, train_embeddings: np.ndarray,
                            test_embeddings: np.ndarray

@@ -256,8 +256,11 @@ def main():
             rec["temperature"] = args.temperature
         if args.kv != "bf16":
             rec["kv"] = args.kv
-        if effective_chunk["v"]:
-            rec["prefill_chunk"] = effective_chunk["v"]
+        ec = effective_chunk["v"]
+        if isinstance(ec, dict):  # auto-resolved per max_new cache length
+            ec = {str(k): v for k, v in ec.items() if v} or None
+        if ec:
+            rec["prefill_chunk"] = ec
             if args.prefill_chunk is None:
                 rec["prefill_chunk_auto"] = True
         records.append(rec)
@@ -340,13 +343,17 @@ def main():
         bucket = args.bucket or (32 if args.geometry == "tiny" else 1024)
         if args.prefill_chunk is None:
             from emr2a_tpu.models.qwen3_vl import auto_prefill_chunk
-            # the larger max_new below bounds the cache length
-            hi_new = 24 if args.geometry == "tiny" else 96
-            effective_chunk["v"] = auto_prefill_chunk(
-                B, cfg.text.num_heads, bucket, bucket + hi_new)
-            if effective_chunk["v"]:
-                print(f"auto prefill_chunk: {effective_chunk['v']}",
-                      flush=True)
+            # Resolve the auto chunk with the SAME max_len the generator
+            # will use per max_new (it re-resolves per compiled cache
+            # length, so near the budget threshold the two runs can pick
+            # different chunks); record both.
+            effective_chunk["v"] = {
+                mn: auto_prefill_chunk(B, cfg.text.num_heads, bucket,
+                                       bucket + mn)
+                for mn in ((8, 24) if args.geometry == "tiny" else (32, 96))}
+            if any(effective_chunk["v"].values()):
+                print(f"auto prefill_chunk per max_new: "
+                      f"{effective_chunk['v']}", flush=True)
         times = {}
         for max_new in ((8, 24) if args.geometry == "tiny" else (32, 96)):
             t0 = time.time()

@@ -32,7 +32,26 @@ def rng():
     return np.random.RandomState(0)
 
 
+# Modules dominated by multi-second jit compiles (serving chunks, DCN
+# subprocesses, torch parity model builds) — measured >=7s/test on the
+# 1-core box.  `-m "not slow"` is the fast lane (~5 min vs ~16 min
+# full); run the full suite before committing serving or model work.
+_SLOW_MODULES = {
+    "test_serving", "test_speculative", "test_multiprocess_dcn",
+    "test_training", "test_quantized_tower", "test_baselines",
+    "test_qwen3_vl_parity", "test_qwen_encoder_backend",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.purebasename in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: jit-compile-heavy tests (serving/DCN/parity)")
     # assert_allclose treats NaN == NaN as equal by default, which
     # silently passes symmetric-failure comparisons (both sides NaN,
     # as happened with an out-of-vocab toy tokenizer).  Reject NaN in

@@ -298,8 +298,14 @@ def test_auto_prefill_chunk(hf, monkeypatch):
     assert q.auto_prefill_chunk(32, 32, 1024, 1536) == 256
     # B=8 @ bucket 4096 (~17 GiB) long-context -> the measured chunk
     assert q.auto_prefill_chunk(8, 32, 4096, 4192) == 256
-    # halving stops at an odd chunk (it must divide the bucket)
-    assert q.auto_prefill_chunk(1, 1, 1000, 1000, budget=1) == 125
+    # non-power-of-two bucket: the chunk must divide the bucket, and
+    # the search continues past the first odd divisor (1000 = 8*125;
+    # budget=1 forces the floor chunk of 1, with a warning)
+    assert q.auto_prefill_chunk(1, 1, 1000, 1000, budget=1) == 1
+    # ... and picks the largest *fitting* divisor, not 125-by-halving:
+    # per_row = 1*1*1000*4 = 4000 B; budget 900 kB fits chunks <= 225
+    # and the largest divisor of 1000 under that is 200
+    assert q.auto_prefill_chunk(1, 1, 1000, 1000, budget=900_000) == 200
 
     model, cfg = hf
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
