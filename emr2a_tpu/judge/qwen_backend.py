@@ -226,13 +226,17 @@ class QwenVLBackend:
         llms/qwen3_llm.py:103-113)."""
         ids, pixel_patches, grids = self._prepare(images, prompt, system)
         input_ids = np.asarray([ids], dtype=np.int64)
-        if self.spec_generator is not None and temperature <= 0:
-            # lossless: same tokens as the plain greedy path, fewer
-            # target weight streams per emitted token
+        if self.spec_generator is not None:
+            # greedy: lossless — same tokens as the plain greedy path,
+            # fewer target weight streams per emitted token.  Sampled:
+            # rejection-sampling acceptance keeps the stream distributed
+            # exactly as target-only sampling (models/speculative.py).
             out_ids = self.spec_generator.generate(
                 input_ids, pixel_patches=pixel_patches,
                 grid_thw=tuple(grids), max_new_tokens=max_new_tokens,
-                prompt_bucket=self.prompt_bucket)
+                prompt_bucket=self.prompt_bucket,
+                temperature=temperature,
+                top_p=top_p if temperature > 0 else 1.0)
             return self._decode_row(out_ids[0])
         out_ids = self.generator.generate(
             input_ids, pixel_patches=pixel_patches, grid_thw=tuple(grids),
@@ -317,12 +321,11 @@ class QwenVLBackend:
                 for r in requests]
         max_len = max(len(ids) for ids, _, _ in rows)
         bucket = -(-max_len // self.prompt_bucket) * self.prompt_bucket
-        # an all-greedy wave with a draft loaded serves speculatively:
-        # every slot advances by draft-k/verify-1 cycles (lossless);
-        # sampled waves fall back to a draft-less batcher
-        sampling = any(float(r.get("temperature", temperature) or 0.0) > 0
-                       for r in requests)
-        use_spec = self.spec_generator is not None and not sampling
+        # a wave with a draft loaded serves speculatively: every slot
+        # advances by draft-k/verify-1 cycles — greedy slots lossless,
+        # sampled slots through rejection sampling (the batcher picks
+        # the acceptance rule per wave, models/serving.py)
+        use_spec = self.spec_generator is not None
         key = (bucket, int(n_slots), int(max_new_tokens), use_spec)
         if not hasattr(self, "_batchers"):
             self._batchers = {}

@@ -776,6 +776,81 @@ def sample_rows(logits: jnp.ndarray, keys, temp: jnp.ndarray,
     return jnp.where(temp <= 0, greedy, sampled.astype(jnp.int32))
 
 
+def filtered_log_probs(logits: jnp.ndarray, temp: jnp.ndarray,
+                       top_p: jnp.ndarray) -> jnp.ndarray:
+    """Full-vocab (B, V) log-probabilities of the ``sample_rows``
+    distribution: temperature-scaled, top-k(SAMPLE_TOP_K) and nucleus
+    (top-p) filtered, -inf outside the kept support.  Rows with
+    temp <= 0 degenerate to a point mass on the argmax — which makes
+    rejection-sampling speculative acceptance (``spec_accept``) reduce
+    EXACTLY to the greedy longest-matching-prefix rule for those rows
+    (accept prob is 1 when the draft token is the target argmax, else
+    0), so mixed greedy/sampled slots share one code path."""
+    B, V = logits.shape
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)[:, None]
+    k = min(SAMPLE_TOP_K, V)
+    vals, idx = jax.lax.top_k(scaled, k)  # descending
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.sum(cum - probs < top_p[:, None], axis=-1)
+    cutoff = jnp.take_along_axis(vals, keep[:, None] - 1, axis=-1)
+    filtered = jnp.where(vals < cutoff, -jnp.inf, vals)
+    lp_k = jax.nn.log_softmax(filtered, axis=-1)  # (B, k) kept support
+    rows = jnp.arange(B)[:, None]
+    full = jnp.full((B, V), -jnp.inf).at[rows, idx].set(lp_k)
+    greedy = jnp.full((B, V), -jnp.inf).at[
+        jnp.arange(B), jnp.argmax(logits, axis=-1)].set(0.0)
+    return jnp.where((temp <= 0)[:, None], greedy, full)
+
+
+def spec_accept(drafts: jnp.ndarray, q_lp: jnp.ndarray, p_lp: jnp.ndarray,
+                keys: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Speculative rejection-sampling acceptance (the lossless scheme):
+    accept draft x_j with prob min(1, p_j(x_j)/q_j(x_j)); at the first
+    rejection sample the correction from normalize(max(p_j - q_j, 0));
+    when all k drafts are accepted sample the bonus token from p_k.
+    The emitted prefix is then distributed EXACTLY as sampling from the
+    target alone (pinned statistically by
+    tests/test_sampled_speculative.py); with point-mass greedy
+    distributions it reduces to the longest argmax-matching prefix.
+
+    drafts (B, k) proposals sampled from q; q_lp (B, k, V) draft
+    log-probs per proposal position; p_lp (B, k+1, V) target log-probs;
+    keys (B, 2) per-row PRNG keys.  Returns (emitted (B, k+1) int32,
+    n_acc (B,)): emitted[:, :n_acc] are the accepted drafts,
+    emitted[:, n_acc] the correction/bonus — the cycle's verified
+    emission is emitted[:, :n_acc + 1]."""
+    B, k = drafts.shape
+    split = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+    u_key, c_key = split[:, 0], split[:, 1]
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(u_key)  # (B, k)
+    p_at = jnp.take_along_axis(p_lp[:, :k], drafts[:, :, None],
+                               axis=2)[..., 0]
+    q_at = jnp.take_along_axis(q_lp, drafts[:, :, None], axis=2)[..., 0]
+    # q_at is finite (drafts were sampled from q's support), so the
+    # ratio never hits -inf - -inf; p_at = -inf gives accept prob 0.
+    accept = u < jnp.exp(jnp.minimum(p_at - q_at, 0.0))  # (B, k)
+    acc_i = accept.astype(jnp.int32)
+    n_acc = jnp.argmin(jnp.cumprod(acc_i, axis=1), axis=1)
+    n_acc = jnp.where(accept.all(axis=1), k, n_acc)
+    p_n = jnp.take_along_axis(p_lp, n_acc[:, None, None], axis=1)[:, 0]
+    q_n = jnp.take_along_axis(q_lp, jnp.minimum(n_acc, k - 1)[:, None, None],
+                              axis=1)[:, 0]
+    resid = jnp.maximum(jnp.exp(p_n) - jnp.exp(q_n), 0.0)  # (B, V)
+    # all-zero residual is possible only through underflow (exact
+    # rejection implies p(x) < q(x) somewhere, so p > q elsewhere);
+    # fall back to p itself rather than emit NaN.
+    has_resid = resid.sum(axis=-1, keepdims=True) > 0
+    corr_lp = jnp.where(n_acc[:, None] == k, p_n,
+                        jnp.where(has_resid, jnp.log(resid), p_n))
+    correction = jax.vmap(jax.random.categorical)(c_key, corr_lp)
+    emitted = jnp.concatenate(
+        [drafts, jnp.zeros((B, 1), drafts.dtype)], axis=1)
+    emitted = jnp.where(jnp.arange(k + 1)[None, :] == n_acc[:, None],
+                        correction[:, None].astype(drafts.dtype), emitted)
+    return emitted.astype(jnp.int32), n_acc
+
+
 def empty_kv_cache(text_cfg, batch: int, max_len: int, kv_dtype: str):
     """Static KV cache for scan decode — the ONE allocator shared by
     the plain/speculative generators and the continuous batcher (the

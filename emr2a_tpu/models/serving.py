@@ -44,7 +44,9 @@ from emr2a_tpu.models.qwen3_vl import (
     chunked_prefill,
     compute_mrope_position_ids,
     empty_kv_cache,
+    filtered_log_probs,
     sample_rows,
+    spec_accept,
 )
 
 
@@ -73,9 +75,12 @@ class ContinuousBatcher:
         cycles emits between C and C*(k+1) tokens per slot.  The
         verify step at B slots is still weight-bandwidth-bound, so
         accepted drafts multiply aggregate throughput on top of the
-        batching amortization.  Greedy-only (lossless — every slot's
-        stream is exactly the target's own greedy decode); a
-        draft-enabled batcher rejects sampled requests."""
+        batching amortization.  Greedy slots are lossless (every
+        slot's stream is exactly the target's own greedy decode);
+        sampled slots serve through rejection sampling
+        (models/qwen3_vl.spec_accept — the emitted stream is
+        distributed exactly as target-only sampling), so mixed
+        greedy/sampled waves compose with a draft."""
         self.model = model
         self.params = params
         self.config = model.config
@@ -300,36 +305,47 @@ class ContinuousBatcher:
         # instead of allocating a second multi-GiB copy per chunk
         return jax.jit(run, donate_argnums=(1,))
 
-    def _build_spec_chunk(self):
+    def _build_spec_chunk(self, sampling: bool = False):
         """``chunk`` draft-k/verify-1 cycles over all slots in one jit.
 
         Per cycle: the draft decodes ``spec_k + 1`` single-token steps
         for every slot (feeding the pending token then its own
         proposals), the target verifies each slot's (pending + k
         proposals) chunk in ONE k+1-token forward at per-slot cache
-        offsets, and greedy acceptance advances each slot by
+        offsets, and the acceptance rule advances each slot by
         1..spec_k+1 verified tokens.  Rejected cache positions are
         never exposed (masks bound reads by the verified depth) and are
         overwritten by later cycles — the batched form of
         models/speculative.py's mask-out-instead-of-rollback.  Returns
-        per-cycle (targets (B, chunk, k+1), n_acc (B, chunk)); the host
-        emits ``targets[..., :n_acc+1]``.
+        per-cycle (emitted (B, chunk, k+1), n_acc (B, chunk)); the host
+        emits ``emitted[..., :n_acc+1]``.
+
+        ``sampling=False`` is the pure-greedy variant: draft proposes
+        its argmax, acceptance is the longest argmax-matching prefix
+        (lossless — each slot's stream is exactly the target's greedy
+        decode).  ``sampling=True`` serves slots with mixed per-row
+        temperatures through rejection sampling
+        (models/qwen3_vl.spec_accept): proposals are sampled from the
+        draft's filtered distribution and the emitted stream is
+        distributed exactly as target-only sampling; temp<=0 rows
+        degenerate to point masses and stay token-exact greedy.
         """
         P, max_len, eos = self.prompt_bucket, self.max_len, self.eos_token_id
         B, k = self.n_slots, self.spec_k
 
         def run(params, dparams, state, active):
             tl, pos_base = state["tl"], state["pos_base"]
+            temp, top_p = state["temp"], state["top_p"]
             k_idx = jnp.arange(max_len)[None, None, :]
 
             def cycle(carry, _):
-                cache, d_cache, cur, gen, act = carry
+                cache, d_cache, cur, gen, act, keys = carry
 
                 # -- draft: k+1 single-token steps across all slots
                 # (the +1 feed keeps the draft cache ahead when every
                 # proposal is accepted)
-                def dstep(dc_tok, i):
-                    d_cache, tok = dc_tok
+                def dstep(c, i):
+                    d_cache, tok, keys = c
                     g = gen + i
                     pos = jnp.broadcast_to(
                         (pos_base + g)[None, :, None], (3, B, 1))
@@ -340,12 +356,23 @@ class ContinuousBatcher:
                     logits, d_cache = self.draft_model.apply(
                         {"params": dparams}, tok[:, None], pos,
                         cache=d_cache, cache_pos=P + g, attn_mask=mask)
+                    if sampling:
+                        q_lp = filtered_log_probs(logits[:, -1], temp, top_p)
+                        split = jax.vmap(jax.random.split)(keys)
+                        keys, subs = split[:, 0], split[:, 1]
+                        nxt = jax.vmap(jax.random.categorical)(
+                            subs, q_lp).astype(jnp.int32)
+                        return (d_cache, nxt, keys), (nxt, q_lp)
                     nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                    return (d_cache, nxt), nxt
+                    return (d_cache, nxt, keys), nxt
 
-                (d_cache, _), drafts = jax.lax.scan(
-                    dstep, (d_cache, cur), jnp.arange(k + 1))
-                drafts = drafts[:k].T  # (B, k) proposals d_1..d_k
+                (d_cache, _, keys), d_out = jax.lax.scan(
+                    dstep, (d_cache, cur, keys), jnp.arange(k + 1))
+                if sampling:
+                    drafts = d_out[0][:k].T         # (B, k) proposals
+                    q_lp = d_out[1][:k].swapaxes(0, 1)  # (B, k, V)
+                else:
+                    drafts = d_out[:k].T
 
                 # -- target verifies [cur, d_1..d_k] per slot in ONE
                 # (B, k+1)-token forward at per-slot cache offsets
@@ -361,13 +388,23 @@ class ContinuousBatcher:
                 logits, cache = self.model.apply(
                     {"params": params}, chunk_toks, pos,
                     cache=cache, cache_pos=P + gen, attn_mask=mask)
-                targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-                # -- greedy acceptance per slot: longest prefix with
-                # d_j == tau_{j-1}
-                match = (drafts == targets[:, :k]).astype(jnp.int32)
-                n_acc = jnp.argmin(jnp.cumprod(match, axis=1), axis=1)
-                n_acc = jnp.where(match.all(axis=1), k, n_acc)
+                if sampling:
+                    V = logits.shape[-1]
+                    p_lp = filtered_log_probs(
+                        logits.reshape(B * (k + 1), V),
+                        jnp.repeat(temp, k + 1),
+                        jnp.repeat(top_p, k + 1)).reshape(B, k + 1, V)
+                    split = jax.vmap(jax.random.split)(keys)
+                    keys, subs = split[:, 0], split[:, 1]
+                    emitted, n_acc = spec_accept(drafts, q_lp, p_lp, subs)
+                else:
+                    emitted = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    # greedy acceptance: longest prefix with
+                    # d_j == tau_{j-1}
+                    match = (drafts == emitted[:, :k]).astype(jnp.int32)
+                    n_acc = jnp.argmin(jnp.cumprod(match, axis=1), axis=1)
+                    n_acc = jnp.where(match.all(axis=1), k, n_acc)
 
                 # freeze: a row whose pending token was eos stays
                 # frozen (mirrors the greedy chunk's emit-then-freeze),
@@ -375,24 +412,24 @@ class ContinuousBatcher:
                 # freezes for later cycles
                 act = act & (cur != eos)
                 valid = jnp.arange(k + 1)[None, :] <= n_acc[:, None]
-                hit_eos = jnp.any(valid & (targets == eos), axis=1)
-                targets = jnp.where(act[:, None], targets, eos)
+                hit_eos = jnp.any(valid & (emitted == eos), axis=1)
+                emitted = jnp.where(act[:, None], emitted, eos)
                 n_acc = jnp.where(act, n_acc, 0)
                 new_cur = jnp.where(
                     act, jnp.take_along_axis(
-                        targets, n_acc[:, None], axis=1)[:, 0], eos)
+                        emitted, n_acc[:, None], axis=1)[:, 0], eos)
                 gen = jnp.where(act, gen + n_acc + 1, gen)
                 act = act & ~hit_eos
-                return ((cache, d_cache, new_cur, gen, act),
-                        (targets, n_acc))
+                return ((cache, d_cache, new_cur, gen, act, keys),
+                        (emitted, n_acc))
 
-            (cache, d_cache, cur, gen, _), (toks, accs) = jax.lax.scan(
+            (cache, d_cache, cur, gen, _, keys), (toks, accs) = jax.lax.scan(
                 cycle, (state["cache"], state["d_cache"], state["cur"],
-                        state["gen"], active),
+                        state["gen"], active, state["key"]),
                 None, length=self.chunk)
             new_state = dict(state, cache=cache, d_cache=d_cache, cur=cur,
-                             gen=gen)
-            # (B, chunk, k+1) targets and (B, chunk) acceptance counts
+                             gen=gen, key=keys)
+            # (B, chunk, k+1) emissions and (B, chunk) acceptance counts
             return new_state, toks.swapaxes(0, 1), accs.swapaxes(0, 1)
 
         return jax.jit(run, donate_argnums=(2,))
@@ -458,14 +495,9 @@ class ContinuousBatcher:
         sampling = any(float(r.get("temperature") or 0.0) > 0
                        for r in requests)
         spec = self.draft_model is not None
-        if spec and sampling:
-            raise ValueError(
-                "speculative continuous batching is greedy-only (the "
-                "lossless acceptance rule); serve sampled requests "
-                "through a draft-less batcher")
-        key = "spec" if spec else sampling
+        key = ("spec", sampling) if spec else sampling
         if key not in self._chunk_fns:
-            self._chunk_fns[key] = (self._build_spec_chunk() if spec
+            self._chunk_fns[key] = (self._build_spec_chunk(sampling) if spec
                                     else self._build_chunk(sampling))
         chunk_fn = self._chunk_fns[key]
         if self._state is None:
@@ -498,19 +530,21 @@ class ContinuousBatcher:
                             jnp.float32(float(req.get("temperature") or 0.0)),
                             jnp.float32(float(req.get("top_p") or 1.0))]
                     if spec:
+                        args.append(self._draft_prefill(req))
+                    self._state = self._insert_fn(*args)
+                    if spec:
                         # the spec chunk emits only post-verify tokens,
-                        # so the prefill's first token is emitted here
-                        # (one small readback per refill; prefill
-                        # already synced this request's turn)
-                        first = int(np.asarray(jnp.argmax(logits[0])))
+                        # so the prefill's first token — sampled by the
+                        # insert program with the slot's temp/top_p/key
+                        # (argmax for greedy rows) — is emitted here;
+                        # one small readback per refill, and prefill
+                        # already synced this request's turn
+                        first = int(np.asarray(self._state["cur"][s]))
                         emitted[r].append(first)
                         if (first == self.eos_token_id
                                 or len(emitted[r]) >= budgets[r]):
                             done[r] = True
-                        args.append(self._draft_prefill(req))
-                    self._state = self._insert_fn(*args)
-                    if spec and done[r]:
-                        continue  # slot stays free for the next request
+                            continue  # slot stays free for next request
                     slot_req[s] = r
                     active[s] = True
                     break

@@ -340,9 +340,35 @@ def test_spec_continuous_eos_and_refill():
     for i, (g, e) in enumerate(zip(got, expected)):
         np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
 
-    # sampled requests are rejected (lossless greedy acceptance only)
-    with pytest.raises(ValueError, match="greedy-only"):
-        srv.serve([dict(reqs[0], temperature=0.7)], max_new_tokens=4)
+
+def test_spec_continuous_mixed_sampling():
+    """A draft-enabled batcher serves mixed greedy/sampled waves:
+    greedy rows stay token-exact vs the plain generator (the point-mass
+    degeneracy of the rejection-sampling rule), sampled rows are
+    deterministic per seed.  Distribution-exactness of the sampled rows
+    is pinned in tests/test_sampled_speculative.py."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    dmodel, dparams = init_params(cfg, 3)
+    greedy_reqs = text_requests(2, seed=11)
+    sampled_reqs = [dict(r, temperature=0.9, top_p=0.8, seed=50 + i)
+                    for i, r in enumerate(text_requests(2, seed=12))]
+    reqs = [greedy_reqs[0], sampled_reqs[0], greedy_reqs[1],
+            sampled_reqs[1]]
+    budgets = [8] * len(reqs)
+    expected_greedy = plain_rows(model, params, greedy_reqs, [8, 8], eos=-1)
+
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=16,
+                            max_new_tokens=8, eos_token_id=-1, chunk=2,
+                            draft_model=dmodel, draft_params=dparams,
+                            spec_k=2)
+    got = srv.serve(reqs, max_new_tokens=8)
+    np.testing.assert_array_equal(got[0], expected_greedy[0])
+    np.testing.assert_array_equal(got[2], expected_greedy[1])
+    # same seeds -> same sampled streams on a repeat serve
+    again = srv.serve(reqs, max_new_tokens=8)
+    np.testing.assert_array_equal(got[1], again[1])
+    np.testing.assert_array_equal(got[3], again[3])
 
 
 def test_audit_continuous_speculative_real_backend(rng, tmp_path):
