@@ -872,11 +872,18 @@ def empty_kv_cache(text_cfg, batch: int, max_len: int, kv_dtype: str):
 
 def chunked_prefill(model: Qwen3VLModel, params, input_ids, position_ids,
                     true_len, pixel_patches, grid_thw, padded_len: int,
-                    max_len: int, cache, C: int):
+                    max_len: int, cache, C: int, start: int = 0):
     """Sequence-chunked prefill: embed the full prompt once (the
     visual splice and deepstack gather are whole-prompt cumsums), then
     ``lax.scan`` the decoder over padded_len/C chunks, each writing
-    its KV rows at ``cache_pos = chunk_index * C``.
+    its KV rows at ``cache_pos = start + chunk_index * C``.
+
+    ``start > 0`` prefills a SUFFIX behind an already-filled cache
+    region [0, start) — the shared-prefix serving path
+    (models/serving.py): ``input_ids``/``position_ids`` then cover
+    only positions [start, start + padded_len) and ``true_len`` stays
+    the full unpadded sequence length, so the causal mask admits the
+    prefix keys exactly as a whole-prompt prefill would.
 
     Numerically identical to the one-shot prefill
     (tests/test_qwen3_vl_parity.py): each chunk's queries attend the
@@ -910,14 +917,14 @@ def chunked_prefill(model: Qwen3VLModel, params, input_ids, position_ids,
     k_idx = jnp.arange(max_len)[None, None, :]
 
     def chunk_step(cache, x):
-        q_abs = x["ci"] * C + jnp.arange(C)
+        q_abs = start + x["ci"] * C + jnp.arange(C)
         mask = jnp.where(
             (k_idx <= q_abs[None, :, None])
             & (k_idx < true_len[:, None, None]),
             0.0, -jnp.inf).astype(jnp.float32)  # (B, C, max)
         hidden_c, cache = model.apply(
             {"params": params}, x["emb"], x["pos"], cache=cache,
-            cache_pos=x["ci"] * C, attn_mask=mask,
+            cache_pos=start + x["ci"] * C, attn_mask=mask,
             visual_mask=x.get("vm"), deepstack=deepstack,
             visual_gather_idx=x.get("vg"), return_hidden=True,
             method=lambda m, *a, **kw: m.language_model(*a, **kw))

@@ -20,9 +20,13 @@ TPU design notes:
 - The chunk loop is a ``lax.scan`` inside ONE jit: the host syncs once
   per ``chunk`` steps (~30 ms relay RTT amortized over the chunk), and
   compilation is one program regardless of request mix.
-- Prefill is a separate B=1 jit per image-grid layout (the plain
-  generator's compile key), writing a full-length single-row cache
-  that is spliced into the slot axis with a dynamic_update_slice.
+- Refill prefill batches the head-of-queue run with one image-grid
+  layout into a single program (one weight stream for up to n_slots
+  suffix prefills), scattered into the slot axis in one insert.
+- A serve() wave whose requests open with the same token prefix — the
+  audit workload, where every case carries the same long instruction
+  template — prefills that prefix ONCE and splices its KV under every
+  request; each refill then prefills only the per-case suffix.
 
 Greedy parity: each request's emitted stream is exactly what
 ``Qwen3VLGenerator.generate`` (B=1, temperature 0) emits — pinned by
@@ -50,6 +54,12 @@ from emr2a_tpu.models.qwen3_vl import (
 )
 
 
+# A wave-level common prefix shorter than this is not worth its own
+# prefill program (compile + per-wave prefix pass) — chat headers alone
+# are a handful of tokens; the audit template is hundreds.
+_MIN_SHARED_PREFIX = 16
+
+
 class ContinuousBatcher:
     """Slot-based continuous serving over one Qwen3-VL model.
 
@@ -67,7 +77,8 @@ class ContinuousBatcher:
                  eos_token_id: int = 151645, kv_dtype: str = "bf16",
                  chunk: int = 16, draft_model: Optional[Qwen3VLModel] = None,
                  draft_params=None, spec_k: int = 4,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 shared_prefix: bool = True):
         """``draft_model/draft_params`` turn every slot speculative:
         each chunk iteration becomes a draft-k/verify-1 cycle (the
         draft proposes ``spec_k`` tokens per slot, the target verifies
@@ -80,7 +91,14 @@ class ContinuousBatcher:
         sampled slots serve through rejection sampling
         (models/qwen3_vl.spec_accept — the emitted stream is
         distributed exactly as target-only sampling), so mixed
-        greedy/sampled waves compose with a draft."""
+        greedy/sampled waves compose with a draft.
+
+        ``shared_prefix`` (default on): when every request in a
+        serve() wave opens with the same >=16-token prefix, prefill it
+        once and splice its KV under every request — each refill then
+        prefills only its per-case suffix.  Auto-detected per wave,
+        clipped before the first image token, token-exact vs whole
+        prefills (tests/test_serving.py shared-prefix suite)."""
         self.model = model
         self.params = params
         self.config = model.config
@@ -116,21 +134,30 @@ class ContinuousBatcher:
         self.max_len = (self.prompt_bucket + self.max_new_tokens
                         + 2 * self.chunk * per_iter)
         # Sequence-chunked refill prefill (models/qwen3_vl.py
-        # chunked_prefill): bounds the (1, heads, bucket, max_len) f32
-        # attention temps at long prompt buckets.  When the caller
-        # gave no explicit chunk, auto-chunk iff the one-shot B=1
-        # refill prefill would blow the temp budget (very long
-        # buckets) so the batcher never OOMs on prompt length.
-        if prefill_chunk is None:
-            prefill_chunk = auto_prefill_chunk(
-                1, model.config.text.num_heads, self.prompt_bucket,
-                self.max_len)
+        # chunked_prefill): bounds the (Bp, heads, bucket, max_len) f32
+        # attention temps at long prompt buckets / batched refills.
+        # When the caller gave no explicit chunk, each compiled prefill
+        # resolves its own chunk from its (batch, length) via
+        # auto_prefill_chunk (see _fit_chunk) so the batcher never OOMs
+        # on prompt length or refill batch size.
+        self._auto_chunk = prefill_chunk is None
         self.prefill_chunk = prefill_chunk
+        # Shared-prefix KV: when every request in a serve() wave opens
+        # with the same token prefix (the audit workload — one constant
+        # instruction template across cases, matching the reference's
+        # fixed template pipelines/step4_vlm_review/
+        # prompt_templates.py:15-100), the prefix is prefilled ONCE per
+        # wave and spliced under every refill, which then prefills only
+        # its per-case suffix.
+        self.shared_prefix = bool(shared_prefix)
         self._prefill_fns: Dict = {}
-        self._draft_prefill_fns: Dict = {}
-        self._insert_fn = None
+        self._prefix_fns: Dict = {}
+        self._insert_fns: Dict[int, object] = {}
         self._chunk_fns: Dict[bool, object] = {}
         self._state = None
+        self._wave_lp = 0
+        self._wave_prefix = None
+        self._wave_draft_prefix = None
 
     # -- device state -------------------------------------------------------
 
@@ -157,100 +184,163 @@ class ContinuousBatcher:
 
     # -- compiled programs ---------------------------------------------------
 
-    def _build_prefill(self, grid_thw):
-        P, max_len, C = self.prompt_bucket, self.max_len, self.prefill_chunk
+    def _fit_chunk(self, seq_len: int, batch: int) -> Optional[int]:
+        """Prefill chunk for a (batch, seq_len) prefill program, or
+        None for one-shot.  Auto mode sizes the chunk so the per-layer
+        (batch, heads, C, max_len) f32 attention temp fits the budget;
+        an explicit ``prefill_chunk`` is rounded DOWN to the nearest
+        divisor of ``seq_len`` (the chunked prefill scans equal
+        slices — suffix/prefix lengths need not divide evenly by the
+        user's whole-bucket chunk)."""
+        if seq_len <= 1:
+            return None
+        if self._auto_chunk:
+            return auto_prefill_chunk(
+                batch, self.config.text.num_heads, seq_len, self.max_len)
+        C = self.prefill_chunk
+        if not C or C >= seq_len:
+            return None
+        while seq_len % C:
+            C -= 1
+        return C
 
-        def run(params, input_ids, position_ids, true_len, pixel_patches):
-            cache = empty_kv_cache(self.config.text, 1, max_len,
+    def _shared_prefix_len(self, requests: Sequence[dict]) -> int:
+        """Longest common token prefix across the wave, clipped before
+        the first image token (image-token KV depends on per-request
+        pixels, so it can never be shared) and so every request keeps a
+        non-empty suffix.  Returns 0 when sharing is off, the wave is a
+        single request, or the prefix is too short to pay for its own
+        prefill program."""
+        if not self.shared_prefix or len(requests) < 2:
+            return 0
+        rows = [np.asarray(r["input_ids"]).reshape(-1) for r in requests]
+        lcp = min(len(r) for r in rows) - 1
+        if lcp <= 0:
+            return 0
+        r0 = rows[0]
+        for r in rows[1:]:
+            neq = np.nonzero(r0[:lcp] != r[:lcp])[0]
+            if neq.size:
+                lcp = int(neq[0])
+                if lcp <= 0:
+                    return 0
+        img = np.nonzero(r0[:lcp] == self.config.image_token_id)[0]
+        if img.size:
+            lcp = int(img[0])
+        return lcp if lcp >= _MIN_SHARED_PREFIX else 0
+
+    def _build_prefix(self, Lp: int, draft: bool = False):
+        """Prefill the Lp-token shared prefix (text-only by
+        construction) into a fresh 1-row cache — run once per wave,
+        broadcast under every refill by the suffix prefill."""
+        model = self.draft_model if draft else self.model
+        max_len, C = self.max_len, self._fit_chunk(Lp, 1)
+
+        def run(params, input_ids, position_ids):
+            cache = empty_kv_cache(model.config.text, 1, max_len,
                                    self.kv_dtype)
-            if C and P > C:
-                hidden, cache = chunked_prefill(
-                    self.model, params, input_ids, position_ids,
-                    true_len, pixel_patches, grid_thw, P, max_len,
-                    cache, C)
+            tl = jnp.asarray([Lp], jnp.int32)
+            if C and Lp > C:
+                _, cache = chunked_prefill(
+                    model, params, input_ids, position_ids, tl, None,
+                    (), Lp, max_len, cache, C)
             else:
-                q_idx = jnp.arange(P)[None, :, None]
+                q_idx = jnp.arange(Lp)[None, :, None]
                 k_idx = jnp.arange(max_len)[None, None, :]
-                mask = jnp.where(
-                    (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
-                    0.0, -jnp.inf).astype(jnp.float32)
-                hidden, cache = self.model.apply(
+                mask = jnp.where((k_idx <= q_idx) & (k_idx < Lp),
+                                 0.0, -jnp.inf).astype(jnp.float32)
+                _, cache = model.apply(
                     {"params": params}, input_ids, position_ids,
-                    pixel_patches=pixel_patches, grid_thw=grid_thw,
                     cache=cache, cache_pos=0, attn_mask=mask,
                     return_hidden=True)
-            last_hidden = hidden[jnp.arange(1), true_len - 1]
-            logits = self.model.apply(
-                {"params": params}, last_hidden,
-                method=lambda m, h: m.language_model.project(h))
-            pos_base = (position_ids.max(axis=(0, 2)) + 1).astype(jnp.int32)
-            return cache, logits.astype(jnp.float32), pos_base
-
-        return jax.jit(run)
-
-    def _build_draft_prefill(self, grid_thw):
-        """Cache-only prefill of the DRAFT model (the draft's first
-        proposal comes from feeding the target's first token, so its
-        prefill logits are never used)."""
-        P, max_len, C = self.prompt_bucket, self.max_len, self.prefill_chunk
-
-        def run(dparams, input_ids, position_ids, true_len, pixel_patches):
-            cache = empty_kv_cache(self.draft_model.config.text, 1,
-                                   max_len, self.kv_dtype)
-            if C and P > C:
-                _, cache = chunked_prefill(
-                    self.draft_model, dparams, input_ids, position_ids,
-                    true_len, pixel_patches, grid_thw, P, max_len,
-                    cache, C)
-                return cache
-            q_idx = jnp.arange(P)[None, :, None]
-            k_idx = jnp.arange(max_len)[None, None, :]
-            mask = jnp.where(
-                (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
-                0.0, -jnp.inf).astype(jnp.float32)
-            _, cache = self.draft_model.apply(
-                {"params": dparams}, input_ids, position_ids,
-                pixel_patches=pixel_patches, grid_thw=grid_thw,
-                cache=cache, cache_pos=0, attn_mask=mask,
-                return_hidden=True)
             return cache
 
         return jax.jit(run)
 
-    @staticmethod
-    def _scatter_slot(state_cache, cache1, slot):
-        return [
-            tuple(jax.lax.dynamic_update_slice(
-                buf, one, (slot,) + (0,) * (buf.ndim - 1))
-                for buf, one in zip(layer, layer1))
-            for layer, layer1 in zip(state_cache, cache1)]
+    def _build_prefill(self, grid_thw, Lp: int, Bp: int,
+                       draft: bool = False):
+        """One prefill program per (image layout, shared-prefix length,
+        refill batch).  Prefills Bp requests' suffixes [Lp, bucket) in
+        one pass — batched refills amortize the weight stream the same
+        way batched decode does — starting each row from the wave's
+        shared-prefix cache when Lp > 0.  The draft variant is
+        cache-only (the draft's first proposal comes from feeding the
+        target's first token, so its prefill logits are never used)."""
+        model = self.draft_model if draft else self.model
+        P, max_len = self.prompt_bucket, self.max_len
+        S2 = P - Lp
+        C = self._fit_chunk(S2, Bp)
 
-    def _build_insert(self):
-        def run(state, cache1, logits, pos_base, true_len, slot, key,
-                temp, top_p, d_cache1=None):
-            cache = self._scatter_slot(state["cache"], cache1, slot)
-            # first token from the prefill logits, with the slot's
+        def run(params, prefix_cache, input_ids, position_ids, true_len,
+                pixel_patches):
+            if Lp:
+                cache = [tuple(jnp.repeat(b, Bp, axis=0) for b in layer)
+                         for layer in prefix_cache]
+            else:
+                cache = empty_kv_cache(model.config.text, Bp, max_len,
+                                       self.kv_dtype)
+            if C and S2 > C:
+                hidden, cache = chunked_prefill(
+                    model, params, input_ids, position_ids, true_len,
+                    pixel_patches, grid_thw, S2, max_len, cache, C,
+                    start=Lp)
+            else:
+                q_idx = Lp + jnp.arange(S2)[None, :, None]
+                k_idx = jnp.arange(max_len)[None, None, :]
+                mask = jnp.where(
+                    (k_idx <= q_idx) & (k_idx < true_len[:, None, None]),
+                    0.0, -jnp.inf).astype(jnp.float32)
+                hidden, cache = model.apply(
+                    {"params": params}, input_ids, position_ids,
+                    pixel_patches=pixel_patches, grid_thw=grid_thw,
+                    cache=cache, cache_pos=Lp, attn_mask=mask,
+                    return_hidden=True)
+            if draft:
+                return cache
+            last_hidden = hidden[jnp.arange(Bp), true_len - 1 - Lp]
+            logits = model.apply(
+                {"params": params}, last_hidden,
+                method=lambda m, h: m.language_model.project(h))
+            return cache, logits.astype(jnp.float32)
+
+        return jax.jit(run)
+
+    def _build_insert(self, Bp: int):
+        """Scatter Bp freshly prefilled rows into their slots in one
+        program.  Pad rows (a refill group smaller than its power-of-2
+        batch bucket) carry slot index ``n_slots``, out of range for
+        every (n_slots, ...) state buffer — mode='drop' discards them
+        without a branch."""
+        def run(state, cacheB, logits, pos_base, true_len, slots, keys,
+                temp, top_p, d_cacheB=None):
+            def scat(buf, rows):
+                return buf.at[slots].set(rows, mode="drop")
+
+            cache = [tuple(scat(b, r) for b, r in zip(layer, layerB))
+                     for layer, layerB in zip(state["cache"], cacheB)]
+            # first token from the prefill logits, with each slot's
             # sampling config (temp <= 0 -> argmax, the greedy path)
-            key0, key = jax.random.split(key)
-            first = sample_rows(logits, key0[None], temp[None],
-                                top_p[None])[0]
+            split = jax.vmap(jax.random.split)(keys)
+            keys2, subs = split[:, 0], split[:, 1]
+            first = sample_rows(logits, subs, temp, top_p)
             out = {
                 "cache": cache,
-                "cur": state["cur"].at[slot].set(first),
-                "gen": state["gen"].at[slot].set(0),
-                "pos_base": state["pos_base"].at[slot].set(pos_base[0]),
-                "tl": state["tl"].at[slot].set(true_len[0]),
-                "key": state["key"].at[slot].set(key),
-                "temp": state["temp"].at[slot].set(temp),
-                "top_p": state["top_p"].at[slot].set(top_p),
+                "cur": scat(state["cur"], first),
+                "gen": scat(state["gen"], jnp.zeros((Bp,), jnp.int32)),
+                "pos_base": scat(state["pos_base"], pos_base),
+                "tl": scat(state["tl"], true_len),
+                "key": scat(state["key"], keys2),
+                "temp": scat(state["temp"], temp),
+                "top_p": scat(state["top_p"], top_p),
             }
-            if d_cache1 is not None:
-                out["d_cache"] = self._scatter_slot(
-                    state["d_cache"], d_cache1, slot)
+            if d_cacheB is not None:
+                out["d_cache"] = [
+                    tuple(scat(b, r) for b, r in zip(layer, layerB))
+                    for layer, layerB in zip(state["d_cache"], d_cacheB)]
             return out
 
-        # donate the old state (and the consumed 1-slot prefill caches):
-        # the update aliases in place instead of doubling the multi-GiB
+        # donate the old state (and the consumed prefill caches): the
+        # update aliases in place instead of doubling the multi-GiB
         # slot KV residency per insert
         if self.draft_model is not None:
             return jax.jit(run, donate_argnums=(0, 1, 9))
@@ -437,6 +527,9 @@ class ContinuousBatcher:
     # -- host scheduler ------------------------------------------------------
 
     def _prefill_inputs(self, req: dict):
+        """Host-side suffix inputs for one request: ids/positions over
+        [wave prefix, bucket), full-sequence true length, and the
+        host-computed pos_base (max m-rope position + 1)."""
         ids = np.asarray(req["input_ids"])
         if ids.ndim == 1:
             ids = ids[None]
@@ -453,29 +546,70 @@ class ContinuousBatcher:
         position_ids = compute_mrope_position_ids(
             ids, grid_thw, self.config.image_token_id,
             self.config.vision.spatial_merge_size)
+        pos_base = int(position_ids.max()) + 1
         if seq_len < self.prompt_bucket:
             pad = self.prompt_bucket - seq_len
             ids = np.pad(ids, [(0, 0), (0, pad)])
             position_ids = np.pad(position_ids, [(0, 0), (0, 0), (0, pad)])
+        Lp = self._wave_lp
         patches = req.get("pixel_patches")
-        patches = jnp.asarray(patches) if patches is not None else None
-        return (grid_thw, jnp.asarray(ids), jnp.asarray(position_ids),
-                jnp.asarray([seq_len], jnp.int32), patches)
+        return (grid_thw, ids[:, Lp:], position_ids[:, :, Lp:],
+                seq_len, pos_base,
+                np.asarray(patches) if patches is not None else None)
 
-    def _prefill(self, req: dict):
-        grid_thw, ids, pos, tl, patches = self._prefill_inputs(req)
-        if grid_thw not in self._prefill_fns:
-            self._prefill_fns[grid_thw] = self._build_prefill(grid_thw)
-        return self._prefill_fns[grid_thw](self.params, ids, pos, tl,
-                                           patches)
+    @staticmethod
+    def _grid_key(req: dict):
+        return tuple(tuple(int(x) for x in g)
+                     for g in req.get("grid_thw", ()) or ())
 
-    def _draft_prefill(self, req: dict):
-        grid_thw, ids, pos, tl, patches = self._prefill_inputs(req)
-        if grid_thw not in self._draft_prefill_fns:
-            self._draft_prefill_fns[grid_thw] = \
-                self._build_draft_prefill(grid_thw)
-        return self._draft_prefill_fns[grid_thw](self.draft_params, ids,
-                                                 pos, tl, patches)
+    def _prefill_batch(self, rows: List[tuple], Bp: int, draft: bool):
+        """Run one batched suffix prefill over Bp prepared
+        ``_prefill_inputs`` rows (the caller pads the group to Bp)."""
+        grid_row = rows[0][0]
+        ids = jnp.asarray(np.concatenate([r[1] for r in rows], axis=0))
+        pos = jnp.asarray(np.concatenate([r[2] for r in rows], axis=1))
+        tl = jnp.asarray([r[3] for r in rows], jnp.int32)
+        patches = None
+        if rows[0][5] is not None:
+            patches = jnp.asarray(
+                np.concatenate([r[5] for r in rows], axis=0))
+        grid_thw = grid_row * Bp
+        key = (grid_thw, self._wave_lp, Bp, draft)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._build_prefill(
+                grid_thw, self._wave_lp, Bp, draft=draft)
+        params = self.draft_params if draft else self.params
+        prefix = self._wave_draft_prefix if draft else self._wave_prefix
+        return self._prefill_fns[key](params, prefix, ids, pos, tl,
+                                      patches)
+
+    def _prefill_shared_prefix(self, requests: Sequence[dict]):
+        """Per-wave shared-prefix setup: detect the common prefix and
+        prefill it once for the target (and draft) model."""
+        self._wave_lp = self._shared_prefix_len(requests)
+        self._wave_prefix = self._wave_draft_prefix = None
+        if not self._wave_lp:
+            return
+        Lp = self._wave_lp
+        ids = np.asarray(requests[0]["input_ids"]).reshape(1, -1)[:, :Lp]
+        # the prefix is image-free by construction, so its m-rope
+        # positions are a pure function of the prefix tokens — identical
+        # standalone and inside every request's full sequence
+        pos = compute_mrope_position_ids(
+            ids, (), self.config.image_token_id,
+            self.config.vision.spatial_merge_size)
+        ids, pos = jnp.asarray(ids), jnp.asarray(pos)
+        for draft in ([False, True] if self.draft_model is not None
+                      else [False]):
+            key = (Lp, draft)
+            if key not in self._prefix_fns:
+                self._prefix_fns[key] = self._build_prefix(Lp, draft=draft)
+            cache = self._prefix_fns[key](
+                self.draft_params if draft else self.params, ids, pos)
+            if draft:
+                self._wave_draft_prefix = cache
+            else:
+                self._wave_prefix = cache
 
     def serve(self, requests: Sequence[dict],
               max_new_tokens: Optional[int] = None) -> List[np.ndarray]:
@@ -490,8 +624,6 @@ class ContinuousBatcher:
         together (the VLM-direct multi-temperature protocol runs as one
         stream); greedy rows still match the plain generator exactly.
         """
-        if self._insert_fn is None:
-            self._insert_fn = self._build_insert()
         sampling = any(float(r.get("temperature") or 0.0) > 0
                        for r in requests)
         spec = self.draft_model is not None
@@ -502,6 +634,7 @@ class ContinuousBatcher:
         chunk_fn = self._chunk_fns[key]
         if self._state is None:
             self._state = self._init_state()
+        self._prefill_shared_prefix(requests)
         default_new = max_new_tokens or self.max_new_tokens
         budgets = [min(int(r.get("max_new_tokens") or default_new),
                        self.max_new_tokens) for r in requests]
@@ -513,41 +646,69 @@ class ContinuousBatcher:
         queue = list(range(len(requests)))
 
         def refill():
-            for s in range(self.n_slots):
-                while slot_req[s] is None and queue:
-                    r = queue.pop(0)
-                    req = requests[r]
-                    cache1, logits, pos_base = self._prefill(req)
-                    tl = jnp.asarray(
-                        [min(np.asarray(req["input_ids"]).reshape(
-                            1, -1).shape[1], self.prompt_bucket)],
-                        jnp.int32)
-                    args = [self._state, cache1, logits, pos_base, tl,
-                            jnp.int32(s),
-                            jax.random.PRNGKey(int(
-                                req["seed"] if req.get("seed") is not None
-                                else r)),
-                            jnp.float32(float(req.get("temperature") or 0.0)),
-                            jnp.float32(float(req.get("top_p") or 1.0))]
-                    if spec:
-                        args.append(self._draft_prefill(req))
-                    self._state = self._insert_fn(*args)
-                    if spec:
-                        # the spec chunk emits only post-verify tokens,
-                        # so the prefill's first token — sampled by the
-                        # insert program with the slot's temp/top_p/key
-                        # (argmax for greedy rows) — is emitted here;
-                        # one small readback per refill, and prefill
-                        # already synced this request's turn
-                        first = int(np.asarray(self._state["cur"][s]))
+            # Batched refills: the head-of-queue run with one image
+            # layout prefills together — one weight stream for up to
+            # n_free suffix prefills instead of one per request (the
+            # initial fill is the big win: n_slots prefills in one
+            # pass).  The group is padded to a power-of-2 batch bucket
+            # so compile count stays logarithmic; pad rows scatter to
+            # slot n_slots and are dropped.
+            while queue:
+                free = [s for s in range(self.n_slots)
+                        if slot_req[s] is None]
+                if not free:
+                    return
+                g0 = self._grid_key(requests[queue[0]])
+                take = [queue.pop(0)]
+                while (queue and len(take) < len(free)
+                       and self._grid_key(requests[queue[0]]) == g0):
+                    take.append(queue.pop(0))
+                Bp = 1 << (len(take) - 1).bit_length()
+                take_pad = take + [take[0]] * (Bp - len(take))
+                rows = [self._prefill_inputs(requests[r]) for r in take_pad]
+                out = self._prefill_batch(rows, Bp, draft=False)
+                cacheB, logits = out
+                slots = free[:len(take)] + [self.n_slots] * (Bp - len(take))
+                keys = jnp.stack([
+                    jax.random.PRNGKey(int(
+                        requests[r]["seed"]
+                        if requests[r].get("seed") is not None else r))
+                    for r in take_pad])
+                args = [self._state, cacheB, logits,
+                        jnp.asarray([r[4] for r in rows], jnp.int32),
+                        jnp.asarray([min(r[3], self.prompt_bucket)
+                                     for r in rows], jnp.int32),
+                        jnp.asarray(slots, jnp.int32), keys,
+                        jnp.asarray([float(requests[r].get("temperature")
+                                           or 0.0) for r in take_pad],
+                                    jnp.float32),
+                        jnp.asarray([float(requests[r].get("top_p") or 1.0)
+                                     for r in take_pad], jnp.float32)]
+                if spec:
+                    args.append(self._prefill_batch(rows, Bp, draft=True))
+                if Bp not in self._insert_fns:
+                    self._insert_fns[Bp] = self._build_insert(Bp)
+                self._state = self._insert_fns[Bp](*args)
+                if spec:
+                    # the spec chunk emits only post-verify tokens, so
+                    # each prefill's first token — sampled by the insert
+                    # program with the slot's temp/top_p/key (argmax for
+                    # greedy rows) — is emitted here; one readback per
+                    # refill group
+                    firsts = np.asarray(self._state["cur"])
+                    for i, r in enumerate(take):
+                        first = int(firsts[slots[i]])
                         emitted[r].append(first)
                         if (first == self.eos_token_id
                                 or len(emitted[r]) >= budgets[r]):
-                            done[r] = True
-                            continue  # slot stays free for next request
-                    slot_req[s] = r
-                    active[s] = True
-                    break
+                            done[r] = True  # slot stays free
+                            continue
+                        slot_req[slots[i]] = r
+                        active[slots[i]] = True
+                else:
+                    for i, r in enumerate(take):
+                        slot_req[slots[i]] = r
+                        active[slots[i]] = True
 
         def emit_row(r, tokens) -> bool:
             for t in tokens:
@@ -617,12 +778,14 @@ class ContinuousBatcher:
                         active[s] = False
                 refill()
         finally:
-            # Release the slot state (KV caches — multi-GiB at 8B)
-            # between waves, on failure too: a long-lived backend keeps
-            # one batcher per prompt bucket, and drained batchers must
-            # not pin HBM.  Compiled programs stay cached; the next
-            # serve() re-zeros the state.
+            # Release the slot state (KV caches — multi-GiB at 8B) and
+            # the wave's shared-prefix caches between waves, on failure
+            # too: a long-lived backend keeps one batcher per prompt
+            # bucket, and drained batchers must not pin HBM.  Compiled
+            # programs stay cached; the next serve() re-zeros the state.
             self._state = None
+            self._wave_prefix = self._wave_draft_prefix = None
+            self._wave_lp = 0
 
         out = []
         for r, toks_r in enumerate(emitted):

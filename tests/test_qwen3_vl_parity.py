@@ -324,12 +324,12 @@ def test_auto_prefill_chunk(hf, monkeypatch):
     b = gen_auto.generate(ids, max_new_tokens=8, prompt_bucket=16)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # The batcher resolves the same auto chunk at construction (B=1
-    # refill prefills); chunked==plain token parity is pinned in
-    # tests/test_serving.py.
+    # The batcher resolves the same auto chunk per prefill program
+    # (refill batch x suffix length); chunked==plain token parity is
+    # pinned in tests/test_serving.py.
     batcher = ContinuousBatcher(Qwen3VLModel(mycfg), params, n_slots=2,
                                 prompt_bucket=16, max_new_tokens=4)
-    assert batcher.prefill_chunk == 1
+    assert batcher._fit_chunk(16, 1) == 1
 
 
 def test_int8_kv_cache_token_agreement(hf, rng):

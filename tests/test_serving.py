@@ -407,3 +407,165 @@ def test_audit_continuous_speculative_real_backend(rng, tmp_path):
     spec = VLMAuditModule(backend=be).audit_batch(
         output_dir=tmp_path / "b", **kwargs)
     assert spec["audit_results"] == plain["audit_results"]
+
+
+# -- shared-prefix KV (one prefix prefill per wave) ------------------------
+
+
+def prefix_requests(n, prefix_len=17, seed=0, bucket=32):
+    """Requests opening with an identical token prefix (the audit
+    workload: one constant instruction template across cases) plus a
+    heterogeneous per-request suffix."""
+    rng = np.random.RandomState(seed)
+    prefix = rng.randint(2, 100, (prefix_len,), np.int64)
+    reqs = []
+    for i in range(n):
+        tail = rng.randint(2, 100, (3 + (i * 2) % 7,), np.int64)
+        ids = np.concatenate([prefix, tail])[None]
+        assert ids.shape[1] <= bucket
+        reqs.append({"input_ids": ids})
+    return reqs
+
+
+def test_shared_prefix_matches_plain():
+    """A wave sharing a >=16-token prefix serves through the shared-
+    prefix path (prefix prefilled once, per-case suffix prefills) and
+    must STILL emit exactly each request's plain greedy stream."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    reqs = prefix_requests(5)
+    budgets = [9] * len(reqs)
+    expected = [
+        Qwen3VLGenerator(model, params, eos_token_id=-1).generate(
+            np.asarray(r["input_ids"]), max_new_tokens=9,
+            prompt_bucket=32)[0]
+        for r in reqs]
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=32,
+                            max_new_tokens=9, eos_token_id=-1, chunk=3)
+    assert srv._shared_prefix_len(reqs) == 17
+    got = srv.serve(reqs, max_new_tokens=9)
+    # sharing actually ran (a prefix program was compiled for Lp=17)
+    assert (17, False) in srv._prefix_fns
+    for i, (g, e) in enumerate(zip(got, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+    # prefix caches are wave-scoped, released after serve
+    assert srv._wave_prefix is None and srv._wave_lp == 0
+
+    # disabling sharing serves the same tokens through whole prefills
+    off = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=32,
+                            max_new_tokens=9, eos_token_id=-1, chunk=3,
+                            shared_prefix=False)
+    got_off = off.serve(reqs, max_new_tokens=9)
+    assert not off._prefix_fns
+    for i, (g, e) in enumerate(zip(got_off, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
+def test_shared_prefix_multimodal_suffix():
+    """Images live in the per-case suffix (the audit evidence package);
+    the shared text prefix splices under multimodal rows without
+    perturbing the vision splice / deepstack math."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0, with_vision=True)
+    rng = np.random.RandomState(0)
+    prefix = rng.randint(2, 100, (18,), np.int64).tolist()
+    grid = ((1, 4, 4),)
+    n_img = 4 * 4 // (2 * 2)
+    reqs = []
+    for i in range(4):
+        pixels = rng.randn(16, 4 * 4 * 3 * 1).astype(np.float32)
+        ids = np.array([prefix + [120] * n_img + [9 + i, 2]], np.int64)
+        reqs.append({"input_ids": ids, "pixel_patches": pixels,
+                     "grid_thw": grid})
+    budgets = [7] * len(reqs)
+    expected = plain_rows(model, params, reqs, budgets, eos=-1)
+
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=32,
+                            max_new_tokens=7, eos_token_id=-1, chunk=2)
+    assert srv._shared_prefix_len(reqs) == 18
+    got = srv.serve(reqs, max_new_tokens=7)
+    assert (18, False) in srv._prefix_fns
+    for i, (g, e) in enumerate(zip(got, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
+def test_shared_prefix_int8_kv_and_chunked():
+    """Shared prefix composes with the s8 KV cache and sequence-chunked
+    suffix prefills (chunk rounded to a divisor of the suffix)."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    reqs = prefix_requests(4, prefix_len=20, seed=2)
+    budgets = [8] * len(reqs)
+    expected = [
+        Qwen3VLGenerator(model, params, eos_token_id=-1,
+                         kv_dtype="int8").generate(
+            np.asarray(r["input_ids"]), max_new_tokens=8,
+            prompt_bucket=32)[0]
+        for r in reqs]
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=32,
+                            max_new_tokens=8, eos_token_id=-1, chunk=3,
+                            kv_dtype="int8", prefill_chunk=8)
+    # suffix = 32 - 20 = 12; explicit chunk 8 rounds down to divisor 6
+    assert srv._fit_chunk(12, 1) == 6
+    got = srv.serve(reqs, max_new_tokens=8)
+    for i, (g, e) in enumerate(zip(got, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
+def test_shared_prefix_speculative():
+    """Shared prefix composes with the speculative chunk: both the
+    target's AND the draft's prefix caches are prefilled once; greedy
+    streams stay exactly the target's own decode."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    dmodel, dparams = init_params(cfg, 7)
+    reqs = prefix_requests(4, prefix_len=19, seed=5)
+    budgets = [8] * len(reqs)
+    expected = [
+        Qwen3VLGenerator(model, params, eos_token_id=-1).generate(
+            np.asarray(r["input_ids"]), max_new_tokens=8,
+            prompt_bucket=32)[0]
+        for r in reqs]
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=32,
+                            max_new_tokens=8, eos_token_id=-1, chunk=2,
+                            draft_model=dmodel, draft_params=dparams,
+                            spec_k=2)
+    got = srv.serve(reqs, max_new_tokens=8)
+    assert (19, True) in srv._prefix_fns  # draft prefix prefilled too
+    for i, (g, e) in enumerate(zip(got, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
+def test_shared_prefix_detection_rules():
+    """Sharing never extends into an image run (image-token KV depends
+    on per-request pixels), requires every suffix non-empty, and is
+    skipped for short prefixes and single-request waves."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=32,
+                            max_new_tokens=4, eos_token_id=-1)
+    img = cfg.image_token_id
+    base = list(range(2, 22))
+    # identical 28-token common region with an image run from position
+    # 18: sharing clips to the pre-image prefix, never into the run
+    with_img = base[:18] + [img] * 6 + base[18:]
+    reqs = [{"input_ids": np.array([with_img + [30 + i]], np.int64)}
+            for i in range(2)]
+    assert srv._shared_prefix_len(reqs) == 18
+    # an image run that starts before _MIN_SHARED_PREFIX disables it
+    early = base[:10] + [img] * 6 + base[10:]
+    reqs_early = [{"input_ids": np.array([early + [30 + i]], np.int64)}
+                  for i in range(2)]
+    assert srv._shared_prefix_len(reqs_early) == 0
+
+    # one request is a strict prefix of the other: suffix must stay
+    # non-empty, so the lcp is capped at min_len - 1
+    reqs = [{"input_ids": np.array([base], np.int64)},
+            {"input_ids": np.array([base + [50]], np.int64)}]
+    assert srv._shared_prefix_len(reqs) == len(base) - 1
+
+    # single-request waves and short prefixes never share
+    assert srv._shared_prefix_len(reqs[:1]) == 0
+    short = [{"input_ids": np.array([[5, 6, 7, 8 + i]], np.int64)}
+             for i in range(2)]
+    assert srv._shared_prefix_len(short) == 0
