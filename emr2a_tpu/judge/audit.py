@@ -198,10 +198,18 @@ class VLMAuditModule:
         """Assemble the generation request for one audit case: query
         images + first image of the top-3 neighbors + formatted prompt
         (vlm_audit_module.py:249-330).  Returns ``{images, prompt,
-        cited_neighbors}`` or None if no usable images exist."""
+        system, cited_neighbors}`` or None if no usable images exist.
+
+        The template's constant instruction block rides as the SYSTEM
+        message (judge/prompts.split_audit_prompt): in token order it
+        precedes the per-case images, so a batch of audit cases shares
+        it as a literal token prefix and continuous serving prefills it
+        once per wave instead of once per case."""
         if prompt_template is None:
             from emr2a_tpu.judge.prompts import get_vlm_audit_prompt
             prompt_template = get_vlm_audit_prompt()
+        from emr2a_tpu.judge.prompts import split_audit_prompt
+        system, prompt_template = split_audit_prompt(prompt_template)
 
         query_images = evidence_package.get("query_images", [])
         if not query_images:
@@ -233,6 +241,7 @@ class VLMAuditModule:
             predicted_label=predicted_label,
             neighbor_info=neighbor_text)
         return {"images": images, "prompt": prompt,
+                "system": system or None,
                 "cited_neighbors": cited_neighbors}
 
     def query_vlm_audit(self, evidence_package: Dict, predicted_label: str,
@@ -249,6 +258,7 @@ class VLMAuditModule:
                 return None
             output_text = self.backend.generate(
                 request["images"], request["prompt"],
+                system=request.get("system"),
                 max_new_tokens=max_new_tokens, temperature=temperature)
 
             result = parse_audit_output(output_text)
@@ -357,6 +367,7 @@ class VLMAuditModule:
                         try:
                             outputs.append(self.backend.generate(
                                 requests[i]["images"], requests[i]["prompt"],
+                                system=requests[i].get("system"),
                                 max_new_tokens=max_new_tokens))
                         except Exception as e2:
                             logger.error("VLM query failed: %s", e2)

@@ -5,19 +5,21 @@ Same placeholder + output contract as the reference's
 ``query_text`` / ``predicted_label`` / ``neighbor_info``; the JSON
 output schema {decision, confidence, cited_neighbors, rationale}) —
 text authored for this build.
+
+Layout note: unlike the reference's templates (which interleave the
+per-case fields into the instruction body), the audit templates here
+put the CONSTANT instruction block first and every per-case field
+last.  Combined with the backend's ``prompt_layout="text_first"``
+(judge/qwen_backend.py), that makes the instruction block a literal
+token prefix shared by every case in a batch, so continuous serving
+prefills it once per wave (models/serving.py shared-prefix KV)
+instead of once per case.
 """
 
 from __future__ import annotations
 
 VLM_AUDIT_PROMPT = """You are an auditing AI for a medical image retrieval system. \
 Your job is to verify a prediction against CT evidence, not to diagnose.
-
-{query_text}
-
-Prediction under audit: {predicted_label}
-
-Retrieved similar cases:
-{neighbor_info}
 
 The images are: first 4 = query patient's CT slices, remaining = one slice \
 from each cited similar case.
@@ -32,13 +34,7 @@ Respond with ONLY a JSON object:
   "rationale": "one short sentence"
 }}
 
-JSON:"""
-
-
-VLM_AUDIT_CONSERVATIVE_PROMPT = """You are a conservative auditing AI for a \
-medical image retrieval system. Your priority is catching wrong predictions; \
-when in doubt, abstain.
-
+Case under audit:
 {query_text}
 
 Prediction under audit: {predicted_label}
@@ -46,8 +42,18 @@ Prediction under audit: {predicted_label}
 Retrieved similar cases:
 {neighbor_info}
 
+JSON:"""
+
+
+VLM_AUDIT_CONSERVATIVE_PROMPT = """You are a conservative auditing AI for a \
+medical image retrieval system. Your priority is catching wrong predictions; \
+when in doubt, abstain.
+
+The images are: first 4 = query patient's CT slices, remaining = one slice \
+from each cited similar case.
+
 Review procedure:
-1. Inspect the query CT slices for findings consistent with {predicted_label}.
+1. Inspect the query CT slices for findings consistent with the predicted label.
 2. Judge whether the cited similar cases genuinely resemble the query.
 3. Actively search for imaging evidence that contradicts the prediction.
 
@@ -64,18 +70,19 @@ Respond with ONLY a single-line JSON object:
   "rationale": "one short sentence citing the decisive evidence"
 }}
 
+Case under audit:
+{query_text}
+
+Prediction under audit: {predicted_label}
+
+Retrieved similar cases:
+{neighbor_info}
+
 JSON:"""
 
 
 VLM_AUDIT_EVIDENCE_CITATION_PROMPT = """You are an evidence-grounded audit AI. \
 Every decision must cite the specific retrieved cases that justify it.
-
-{query_text}
-
-Prediction under audit: {predicted_label}
-
-Retrieved evidence, ranked by similarity:
-{neighbor_info}
 
 For each cited neighbor, state whether it supports or contradicts the \
 prediction, then decide.
@@ -87,6 +94,14 @@ Respond with ONLY a JSON object:
   "cited_neighbors": [ranks of the cases your decision relies on],
   "rationale": "which neighbors support/contradict and why"
 }}
+
+Case under audit:
+{query_text}
+
+Prediction under audit: {predicted_label}
+
+Retrieved evidence, ranked by similarity:
+{neighbor_info}
 
 JSON:"""
 
@@ -111,6 +126,31 @@ system predicted: {predicted_label}
 {query_text}
 
 Output EXACTLY one word: agree, disagree, or uncertain."""
+
+
+# The audit templates above open with a constant instruction block and
+# end with the per-case fields, separated by this marker line.
+AUDIT_CASE_MARKER = "Case under audit:"
+
+
+def split_audit_prompt(template: str):
+    """Split an audit template into ``(system_block, case_template)``.
+
+    The constant instruction block becomes the chat SYSTEM message,
+    which precedes the per-case images in token order — so across a
+    batch of audit cases it is a literal shared token prefix that
+    continuous serving prefills once per wave (models/serving.py
+    shared-prefix KV) instead of once per case.  Templates without the
+    marker, or whose head carries format fields (custom templates),
+    return ``("", template)`` — unsplit, one user message, exactly the
+    pre-split behavior.
+    """
+    marker = "\n\n" + AUDIT_CASE_MARKER + "\n"
+    head, sep, tail = template.partition(marker)
+    if not sep or "{" in head.replace("{{", "").replace("}}", ""):
+        return "", template
+    # the head is field-free; .format() just unescapes {{ }} -> { }
+    return head.format(), AUDIT_CASE_MARKER + "\n" + tail
 
 
 def get_vlm_audit_prompt(conservative: bool = False) -> str:

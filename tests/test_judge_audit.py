@@ -254,3 +254,93 @@ def test_error_detection_single_class_valid_json():
     assert out["fpr"] == [] and out["tpr"] == []
     # allow_nan=False raises on any NaN — the strict-parser contract
     _json.dumps(out, allow_nan=False)
+
+
+def test_split_audit_prompt_property():
+    """Splitting an audit template into (system block, case template)
+    must lose nothing: system + formatted case == formatted original.
+    The system block is field-free so it can ride as the constant chat
+    system message (the shared-prefix serving path)."""
+    from emr2a_tpu.judge.prompts import (
+        VLM_AUDIT_CONSERVATIVE_PROMPT,
+        VLM_AUDIT_EVIDENCE_CITATION_PROMPT,
+        VLM_AUDIT_PROMPT,
+        split_audit_prompt,
+    )
+
+    kw = dict(query_text="Sex: M, Age: 61", predicted_label="PJP",
+              neighbor_info="  [1] ID: p7, Label: PJP, Similarity: 0.912")
+    for tpl in (VLM_AUDIT_PROMPT, VLM_AUDIT_CONSERVATIVE_PROMPT,
+                VLM_AUDIT_EVIDENCE_CITATION_PROMPT):
+        system, case_tpl = split_audit_prompt(tpl)
+        # field-free: the system block is identical for every case
+        # (it may carry literal JSON braces, unescaped from {{ }})
+        assert system
+        for field in ("query_text", "predicted_label", "neighbor_info"):
+            assert "{%s}" % field not in system
+        assert system + "\n\n" + case_tpl.format(**kw) == tpl.format(**kw)
+
+    # custom templates without the marker (or with fields before it)
+    # stay unsplit — exact pre-split behavior
+    custom = "Audit {predicted_label}.\n{query_text}\n{neighbor_info}"
+    assert split_audit_prompt(custom) == ("", custom)
+    fielded_head = ("Check {predicted_label}\n\nCase under audit:\n"
+                    "{query_text} {neighbor_info}")
+    assert split_audit_prompt(fielded_head) == ("", fielded_head)
+
+
+def test_audit_request_carries_system_block(cohort, tmp_path):
+    """_build_audit_request routes the constant instruction block as
+    the system message and the backend receives it."""
+    from emr2a_tpu.data.manifest import load_manifest
+    from emr2a_tpu.judge.prompts import AUDIT_CASE_MARKER
+
+    root, manifest_path, exp_dir, records = cohort
+    manifest = load_manifest(manifest_path)
+    be = FakeVLMBackend()
+    mod = VLMAuditModule(backend=be)
+    evidence = mod.construct_evidence_package(
+        manifest[0], [(manifest[1]["patient_id"], "PJP", 0.9)],
+        manifest, tmp_path)
+    req = mod._build_audit_request(evidence, "PJP")
+    assert req["system"] and "audit" in req["system"].lower()
+    assert "{query_text}" not in req["system"]
+    assert req["prompt"].startswith(AUDIT_CASE_MARKER)
+    mod.query_vlm_audit(evidence, "PJP")
+    assert be.calls[-1]["system"] == req["system"]
+
+
+def test_audit_cases_share_token_prefix():
+    """Two audit cases tokenized through the real backend path must
+    share a token prefix long enough for the batcher's shared-prefix
+    KV to engage (the system block precedes the per-case images)."""
+    from tests.test_serving import tiny_backend
+    from emr2a_tpu.models.serving import _MIN_SHARED_PREFIX
+
+    be = tiny_backend()
+    rng = np.random.RandomState(0)
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    mod = VLMAuditModule(backend=be)
+    reqs = []
+    for label in ("PJP", "Viral"):
+        evidence = {"query_images": [], "query_text": f"Age {label}",
+                    "neighbors": []}
+        # bypass image-file IO: formatted prompt + system direct
+        r = None
+        from emr2a_tpu.judge.prompts import (get_vlm_audit_prompt,
+                                             split_audit_prompt)
+        system, case_tpl = split_audit_prompt(get_vlm_audit_prompt())
+        prompt = case_tpl.format(query_text=f"Sex: M, Age: 61 ({label})",
+                                 predicted_label=label,
+                                 neighbor_info="  [1] ID: p1")
+        ids, _, _ = be._prepare([img], prompt, system)
+        reqs.append({"input_ids": np.asarray([ids], np.int64)})
+    from emr2a_tpu.models.qwen3_vl import Qwen3VLModel
+    from emr2a_tpu.models.serving import ContinuousBatcher
+    srv = ContinuousBatcher(be.model, be.generator.params, n_slots=2,
+                            prompt_bucket=256, max_new_tokens=4,
+                            eos_token_id=-1)
+    lp = srv._shared_prefix_len(reqs)
+    assert lp >= _MIN_SHARED_PREFIX, lp
+    # and it never reaches into the image run
+    assert be.config.image_token_id not in reqs[0]["input_ids"][0, :lp]
