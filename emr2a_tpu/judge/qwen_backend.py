@@ -37,6 +37,13 @@ def _load_qwen3_vl(model_path, config=None, params=None,
 
 def _quantize_decoder(params, precision: str):
     """W8A8 / W4A8-quantize the language-model projections in place."""
+    if precision == "int4":
+        logger.warning(
+            "precision=int4 is EXPERIMENTAL: group-128 4-bit RTN weights "
+            "carry a real accuracy cost (~0.993 cosine per projection; "
+            "decision invariance is pinned only at tiny geometry) — "
+            "validate audit quality on your cohort, or use int8, the "
+            "accuracy-safe fast path")
     if precision in ("int8", "int4"):
         from emr2a_tpu.models.quantize import quantize_qwen_text_params
         return {**params, "language_model":

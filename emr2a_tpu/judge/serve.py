@@ -216,7 +216,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_slots", type=int, default=8)
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--precision", default="bf16",
-                        choices=["bf16", "int8", "int4"])
+                        choices=["bf16", "int8", "int4"],
+                        help="int8 = W8A8, accuracy-safe; int4 = W4A8, "
+                             "EXPERIMENTAL (real RTN accuracy cost — "
+                             "validate before trusting outputs)")
     parser.add_argument("--kv_cache", default="bf16",
                         choices=["bf16", "int8"])
     parser.add_argument("--draft_model", default=None,

@@ -276,9 +276,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--precision", default="bf16",
                         choices=["bf16", "int8", "int4"],
                         help="judge decoder precision; int8 = W8A8 "
-                             "serving, ~1.5x decode throughput; int4 = "
-                             "group-128 W4A8, fastest decode with a "
-                             "real RTN accuracy cost")
+                             "serving, ~1.5x decode throughput, "
+                             "decision-invariant (tests pin fold-metric "
+                             "and token agreement); int4 = group-128 "
+                             "W4A8, fastest decode — EXPERIMENTAL: 4-bit "
+                             "RTN carries a real accuracy cost "
+                             "(~0.993/linear cosine; only tiny-geometry "
+                             "decision invariance is pinned), validate "
+                             "on your cohort before trusting audits")
     parser.add_argument("--kv_cache", default="bf16",
                         choices=["bf16", "int8"],
                         help="judge KV-cache precision; int8 halves KV "

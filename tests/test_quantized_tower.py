@@ -322,3 +322,75 @@ def test_quantized_dp_inference(mesh8):
     norms = [np.linalg.norm(e) for e in out]
     # bf16 feature normalization: ~1e-3 deviation is precision, not dp
     assert all(abs(n - 1) < 2e-2 for n in norms)
+
+
+def test_int4_audit_decisions_match_bf16(rng, tmp_path):
+    """Decision-level gate for --precision int4 (the analog of
+    test_int8_backend_matches_bf16_tokens one level up): the FULL audit
+    pipeline — evidence packaging, prompt split, greedy generate
+    through the W4A8 kernels, parser waterfall, decision thresholds —
+    must produce the same audit decisions as the bf16 backend, across
+    independent weight seeds.  Token streams may diverge (4-bit RTN is
+    lossy; PERF_NOTES documents the tradeoff) — the gate pins that the
+    thresholded decision layer absorbs that divergence on this
+    fixture, and that the int4 path composes with the audit CLI
+    surface.  Real-weight quality deltas still need real weights: the
+    flag stays marked experimental in --help."""
+    pytest.importorskip("torch")
+    import jax
+    from PIL import Image
+    from tests.test_qwen3_vl_parity import tiny_hf_model
+    from tests.test_qwen_encoder_backend import ToyTokenizer
+    from emr2a_tpu.models.qwen3_vl import (Qwen3VLModel,
+                                           qwen3_vl_config_from_hf)
+    from emr2a_tpu.judge.qwen_backend import QwenVLBackend
+    from emr2a_tpu.judge.audit import VLMAuditModule
+    from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
+
+    _, cfg = tiny_hf_model()
+    mycfg = qwen3_vl_config_from_hf(cfg.to_dict())
+    proc = make_image_processor(mycfg.vision, min_pixels=16,
+                                max_pixels=16384)
+
+    records = []
+    for i in range(3):
+        pdir = tmp_path / f"p{i}"
+        pdir.mkdir()
+        p = pdir / "0.png"
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(p)
+        records.append({"patient_id": f"p{i}", "label": "PJP",
+                        "slices": [str(p)], "meta": {"sex": "M", "age": 60}})
+    kwargs = dict(
+        retrieval_predictions=["PJP", "Viral", "Normal"],
+        retrieval_similarities=[[0.9]] * 3,
+        retrieval_labels=[["PJP"]] * 3,
+        query_patients=records,
+        top_neighbors_list=[[("p1", "PJP", 0.9)]] * 3,
+        manifest=records, max_new_tokens=6)
+
+    model = Qwen3VLModel(mycfg)
+    n_img = 4 * 4 // (2 * 2)
+    ids = jnp.concatenate([
+        jnp.zeros((1, 2), jnp.int32),
+        jnp.full((1, n_img), mycfg.image_token_id, jnp.int32),
+        jnp.zeros((1, 2), jnp.int32)], axis=1)
+    pos = jnp.zeros((3, 1, ids.shape[1]), jnp.int32)
+    patches = jnp.zeros((16, 4 * 4 * 3 * 2), jnp.float32)
+
+    for seed in (0, 1, 2):
+        params = model.init(jax.random.PRNGKey(seed), ids, pos,
+                            pixel_patches=patches,
+                            grid_thw=((1, 4, 4),))["params"]
+        decisions = {}
+        for precision in ("bf16", "int4"):
+            be = QwenVLBackend(None, config=mycfg, params=params,
+                               tokenizer=ToyTokenizer(),
+                               image_processor=proc, precision=precision,
+                               prompt_bucket=64)
+            out = VLMAuditModule(backend=be).audit_batch(
+                output_dir=tmp_path / f"s{seed}_{precision}", **kwargs)
+            decisions[precision] = [
+                (r["final_decision"], r["vlm_decision"],
+                 round(float(r["vlm_confidence"]), 6))
+                for r in out["audit_results"]]
+        assert decisions["int4"] == decisions["bf16"], (seed, decisions)
