@@ -253,23 +253,31 @@ class QwenVisionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_mask=None):
+        """``x`` is (seq, d) flat, or (frames, seq_per_frame, d) when
+        the tower batches uniform frames — per-frame attention is then
+        a batched einsum with NO (seq_total, seq_total) mask, the
+        layout that keeps multi-image (audit evidence) prompts from
+        materializing quadratic-in-total-patches f32 logits."""
         cfg = self.config
-        S, d = x.shape
+        d = x.shape[-1]
+        S = x.shape[-2]
+        lead = x.shape[:-2]
         h = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm1")(x)
         q = nn.Dense(d, dtype=cfg.dtype, name="q_proj")(h)
         k = nn.Dense(d, dtype=cfg.dtype, name="k_proj")(h)
         v = nn.Dense(d, dtype=cfg.dtype, name="v_proj")(h)
         hd = cfg.head_dim
-        q = q.reshape(S, cfg.num_heads, hd)
-        k = k.reshape(S, cfg.num_heads, hd)
-        v = v.reshape(S, cfg.num_heads, hd)
+        q = q.reshape(lead + (S, cfg.num_heads, hd))
+        k = k.reshape(lead + (S, cfg.num_heads, hd))
+        v = v.reshape(lead + (S, cfg.num_heads, hd))
         q, k = apply_rope(q, k, cos[:, None, :], sin[:, None, :])
-        logits = jnp.einsum("qhd,khd->hqk", q, k,
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
                             preferred_element_type=jnp.float32) * hd ** -0.5
         if attn_mask is not None:
             logits = logits + attn_mask[None, :, :]
         probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
-        attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(S, d)
+        attn = jnp.einsum("...hqk,...khd->...qhd", probs, v)
+        attn = attn.reshape(lead + (S, d))
         x = x + nn.Dense(d, dtype=cfg.dtype, name="o_proj")(attn)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm2")(x)
@@ -325,10 +333,28 @@ class QwenVisionTower(nn.Module):
                                              cfg.spatial_merge_size)
         cos = jnp.asarray(cos_np)
         sin = jnp.asarray(sin_np)
-        # Per-frame block-diagonal attention (HF cu_seqlens semantics);
-        # None for the common single-image call.
-        mask_np = vision_segment_mask(grid_thw)
-        attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
+        # Attention is confined to each frame (HF cu_seqlens
+        # semantics).  Uniform multi-frame layouts — the audit evidence
+        # package: N same-resolution CT slices per prompt — reshape to
+        # (frames, seq_per_frame, d) and attend per frame as a batched
+        # einsum: the f32 logits temp is frames * seq_f^2 instead of
+        # the flat block-diagonal mask's (sum seq_f)^2, which grows
+        # quadratically in image count and OOMs batched multimodal
+        # prefill.  Mixed layouts keep the flat masked path.
+        S_total = x.shape[0]
+        frame_lens = [h * w for t, h, w in grid_thw for _ in range(t)]
+        uniform = (len(frame_lens) > 1
+                   and len(set(frame_lens)) == 1)
+        attn_mask = None
+        if uniform:
+            seq_f = frame_lens[0]
+            x = x.reshape(len(frame_lens), seq_f, cfg.hidden_size)
+            # per-frame rope rows are identical across uniform frames
+            cos, sin = cos[:seq_f], sin[:seq_f]
+        else:
+            mask_np = vision_segment_mask(grid_thw)
+            attn_mask = (jnp.asarray(mask_np) if mask_np is not None
+                         else None)
 
         deepstack = []
         taps = []
@@ -336,11 +362,13 @@ class QwenVisionTower(nn.Module):
             x = QwenVisionBlock(cfg, name=f"block_{i}")(x, cos, sin, attn_mask)
             if i in cfg.deepstack_visual_indexes:
                 j = cfg.deepstack_visual_indexes.index(i)
+                # the merger's reshape(-1, merged_dim) collapses the
+                # frame axis back to flat merge order
                 deepstack.append(QwenPatchMerger(
                     cfg, use_postshuffle_norm=True,
                     name=f"deepstack_merger_{j}")(x))
             if i in tap_layers:
-                taps.append(x)
+                taps.append(x.reshape(S_total, cfg.hidden_size))
         merged = QwenPatchMerger(cfg, use_postshuffle_norm=False,
                                  name="merger")(x)
         return merged, deepstack, taps

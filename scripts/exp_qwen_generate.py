@@ -50,7 +50,8 @@ _QWEN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
 
 
 def materialize_quantized_on_device(model, key, lm_head_int8=True,
-                                    precision="int8", fuse_projs=False):
+                                    precision="int8", fuse_projs=False,
+                                    vision_grid=None):
     """Random-init a text model's params directly in the quantized
     serving layout (``precision="int8"``: kernel_q int8 + kernel_scale
     f32; ``"int4"``: kernel_p4 packed nibbles + group-128 kernel_scale4
@@ -62,10 +63,29 @@ def materialize_quantized_on_device(model, key, lm_head_int8=True,
     weight-agnostic, so random quantized weights measure exactly what
     converted real weights would.
     """
-    ids1 = jnp.zeros((1, 1), jnp.int32)
-    pos1 = jnp.zeros((3, 1, 1), jnp.int32)
-    shapes = jax.eval_shape(
-        lambda k: model.init(k, ids1, pos1)["params"], key)
+    if vision_grid is not None:
+        # include the vision tower in the param tree (multimodal
+        # serving benches): shapes only — eval_shape never runs the
+        # tower
+        t, h, w = vision_grid
+        cfgv = model.config.vision
+        n_tok = t * h * w // cfgv.spatial_merge_size ** 2
+        ids1 = jnp.concatenate([
+            jnp.zeros((1, 2), jnp.int32),
+            jnp.full((1, n_tok), model.config.image_token_id, jnp.int32),
+            jnp.zeros((1, 2), jnp.int32)], axis=1)
+        pos1 = jnp.zeros((3, 1, ids1.shape[1]), jnp.int32)
+        patches1 = jax.ShapeDtypeStruct((t * h * w, cfgv.patch_dim),
+                                        cfgv.dtype)
+        shapes = jax.eval_shape(
+            lambda k, p: model.init(k, ids1, pos1, pixel_patches=p,
+                                    grid_thw=(vision_grid,))["params"],
+            key, patches1)
+    else:
+        ids1 = jnp.zeros((1, 1), jnp.int32)
+        pos1 = jnp.zeros((3, 1, 1), jnp.int32)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, ids1, pos1)["params"], key)
 
     # float leaves land bf16 (converted real checkpoints store bf16 —
     # an f32 embed/lm_head would stream 2x the bytes every decode step

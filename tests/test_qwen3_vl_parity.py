@@ -360,3 +360,51 @@ def test_int8_kv_cache_token_agreement(hf, rng):
     b = gen_q.generate(mm_ids, pixel_patches=pixels, grid_thw=gtup,
                        max_new_tokens=6)
     np.testing.assert_array_equal(a, b)
+
+
+def test_vision_tower_uniform_multi_image_parity(hf, rng):
+    """THREE same-resolution images in one sequence take the batched
+    per-frame attention path (frames, seq_f, d) — the layout that keeps
+    multi-image audit prompts from materializing (sum seq)^2 f32 logits
+    — and must still match HF's flat cu_seqlens attention exactly, and
+    a full multimodal generate must match HF end-to-end."""
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    parts = [make_pixels(rng, 16, 16) for _ in range(3)]
+    pixels = np.concatenate([p for p, _ in parts], axis=0)
+    grid = np.concatenate([g for _, g in parts], axis=0)
+    with torch.no_grad():
+        expected, expected_deep = model.model.visual(
+            torch.tensor(pixels), grid_thw=torch.tensor(grid))
+    tower = QwenVisionTower(mycfg.vision)
+    got, got_deep, _ = tower.apply(
+        {"params": params["visual"]}, jnp.asarray(pixels),
+        tuple(tuple(int(x) for x in g) for g in grid))
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               atol=ATOL, rtol=1e-3)
+    for g, e in zip(got_deep, expected_deep):
+        np.testing.assert_allclose(np.asarray(g), e.numpy(),
+                                   atol=ATOL, rtol=1e-3)
+
+    # end-to-end: uniform multi-image greedy generation matches HF
+    # HF's get_rope_index locates image runs via vision_start (192)
+    n_img_tok = int(grid.prod(axis=1).sum()) // 4
+    image_ids = [192] + [190] * (n_img_tok // 3)
+    ids = [[5, 6] + image_ids + image_ids + image_ids + [9]]
+    ids_t = torch.tensor(ids)
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=ids_t, pixel_values=torch.tensor(pixels),
+            image_grid_thw=torch.tensor(grid), max_new_tokens=6,
+            do_sample=False)
+    gen = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1)
+    mine = gen.generate(np.asarray(ids, np.int64),
+                        pixel_patches=np.asarray(pixels),
+                        grid_thw=tuple(tuple(int(x) for x in g)
+                                       for g in grid),
+                        max_new_tokens=6, prompt_bucket=64)
+    np.testing.assert_array_equal(np.asarray(mine)[0],
+                                  hf_out[0, ids_t.shape[1]:].numpy())
