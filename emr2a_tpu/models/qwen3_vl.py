@@ -666,6 +666,46 @@ class QwenTextModel(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+# Per-layer f32 vision attention-logits budget (heads x frames x
+# seq_f^2 in the uniform batched path).  1 GiB keeps a B=16 x 7-image
+# 448^2 audit prefill inside single-chip HBM next to the 8B W8A8
+# persistent set; the cost of a smaller budget is one extra vision
+# weight re-read per group, which is noise next to the temp it avoids.
+_VISION_TEMP_BUDGET = 1 * 2**30
+
+
+def plan_vision_groups(vision_cfg, grid_thw,
+                       budget: int = None) -> Optional[list]:
+    """Split a many-image forward into image groups whose attention
+    temps fit ``budget`` bytes, or None for the one-shot call.
+
+    Returns [(img_lo, img_hi, patch_lo, patch_hi), ...] over the
+    grid_thw entries.  Splits only at image boundaries — vision
+    attention never crosses a frame, so grouping is exact.  Only
+    uniform layouts group (mixed-resolution corpora pin their grids
+    via standardize_images before batched serving matters)."""
+    if budget is None:
+        budget = _VISION_TEMP_BUDGET
+    if len(grid_thw) <= 1:
+        return None
+    if len({(h, w) for t, h, w in grid_thw}) != 1:
+        return None
+    t0, h0, w0 = grid_thw[0]
+    seq_f = h0 * w0
+    per_frame = vision_cfg.num_heads * seq_f * seq_f * 4
+    total_frames = sum(t for t, _, _ in grid_thw)
+    if total_frames * per_frame <= budget:
+        return None
+    frames_per_img = grid_thw[0][0]
+    imgs_per_group = max(1, budget // (per_frame * max(1, frames_per_img)))
+    groups = []
+    patches_per_img = t0 * seq_f
+    for lo in range(0, len(grid_thw), imgs_per_group):
+        hi = min(lo + imgs_per_group, len(grid_thw))
+        groups.append((lo, hi, lo * patches_per_img, hi * patches_per_img))
+    return groups
+
+
 def visual_gather_indices(mask: jnp.ndarray, table_len: int) -> jnp.ndarray:
     """Gather indices into the flat batch image-token table.
 
@@ -696,11 +736,37 @@ class Qwen3VLModel(nn.Module):
 
         The flat image-token table concatenates every row's image
         tokens in batch order (HF row-major semantics), so batched
-        rows may carry distinct images/grids."""
+        rows may carry distinct images/grids.
+
+        Many-image prompts (batched audit serving: B cases x ~7
+        evidence images) run the vision tower in image GROUPS sized so
+        the per-layer attention-logits temp stays under a budget —
+        vision attention is frame-local, so group-wise calls are
+        EXACTLY the one-shot forward (parity pinned in
+        tests/test_qwen3_vl_parity.py), and the only cost is re-reading
+        the vision weights (~0.8 GiB bf16 at 8B) once per extra group —
+        milliseconds against the multi-GiB temp it avoids."""
         embeds = self.language_model.embed_tokens(input_ids)
         if pixel_patches is None:
             return embeds, None, None
-        image_embeds, deepstack, _ = self.visual(pixel_patches, grid_thw)
+        groups = plan_vision_groups(self.config.vision, grid_thw)
+        if groups is None:
+            image_embeds, deepstack, _ = self.visual(pixel_patches,
+                                                     grid_thw)
+        else:
+            emb_parts, deep_parts = [], None
+            for img_lo, img_hi, p_lo, p_hi in groups:
+                e, d, _ = self.visual(pixel_patches[p_lo:p_hi],
+                                      grid_thw[img_lo:img_hi])
+                emb_parts.append(e)
+                if deep_parts is None:
+                    deep_parts = [[x] for x in d]
+                else:
+                    for lvl, x in zip(deep_parts, d):
+                        lvl.append(x)
+            image_embeds = jnp.concatenate(emb_parts, axis=0)
+            deepstack = [jnp.concatenate(lvl, axis=0)
+                         for lvl in (deep_parts or [])]
         mask = input_ids == self.config.image_token_id  # (B,S)
         gather_idx = visual_gather_indices(mask, image_embeds.shape[0])
         spliced = image_embeds[gather_idx].astype(embeds.dtype)

@@ -46,15 +46,35 @@ def _resolve_dtype(name: str):
     return {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[name]
 
 
-def _load_patient_means(embeddings_path: Path) -> Dict[str, np.ndarray]:
-    """step2 npz (patient_id -> (n_slices, dim)) -> patient_id -> (dim,)
-    slice-mean, the step3 retrieval protocol."""
-    data = np.load(embeddings_path)
-    out = {}
+def _load_cases(embeddings_path: Path):
+    """npz -> (ids, (n, dim) matrix of per-patient means).
+
+    Two accepted layouts:
+    - step2 artifact: one key per patient_id, (n_slices, dim) each
+      (slice-meaned here — the step3 retrieval protocol);
+    - matrix form: ``patient_ids`` + ``image_matrix`` (the CV runner's
+      combined_embeddings.npz cache, matching the reference's
+      analysis/run_cv_experiments.py:300-311 format) or
+      ``patient_ids`` + ``embeddings``.  At 1M-case scale this is the
+      only practical layout — a million-key zip is not.
+    """
+    data = np.load(embeddings_path, allow_pickle=True)
+    files = set(data.files)
+    if "patient_ids" in files:
+        mat_key = next((k for k in ("image_matrix", "embeddings")
+                        if k in files), None)
+        if mat_key:
+            ids = [str(x) for x in data["patient_ids"]]
+            emb = np.asarray(data[mat_key], np.float32)
+            if emb.ndim == 3:  # (n, slices, dim) -> slice mean
+                emb = emb.mean(axis=1)
+            return ids, emb
+    means = {}
     for pid in data.files:
         emb = np.asarray(data[pid], np.float32)
-        out[pid] = emb.mean(axis=0) if emb.ndim == 2 else emb
-    return out
+        means[pid] = emb.mean(axis=0) if emb.ndim == 2 else emb
+    ids = sorted(means)
+    return ids, np.stack([means[p] for p in ids])
 
 
 def _labels_from_manifest(manifest_path: Optional[str]) -> Dict[str, str]:
@@ -68,19 +88,25 @@ def _labels_from_manifest(manifest_path: Optional[str]) -> Dict[str, str]:
 def cmd_build(args) -> None:
     from emr2a_tpu.retrieval.database import ShardedEmbeddingDatabase
 
-    means = _load_patient_means(Path(args.embeddings_path))
+    t0 = time.time()
+    ids, emb = _load_cases(Path(args.embeddings_path))
     pid_to_label = _labels_from_manifest(args.manifest_path)
-    ids = sorted(means)
-    emb = np.stack([means[p] for p in ids])
     labels = [pid_to_label.get(p, "unknown") for p in ids]
+    t_load = time.time() - t0
 
+    t0 = time.time()
     db = ShardedEmbeddingDatabase(
         emb, labels=labels, ids=ids, dtype=_resolve_dtype(args.dtype),
         capacity=args.capacity, normalize=not args.no_normalize)
+    t_ingest = time.time() - t0
+    t0 = time.time()
     Path(args.db).parent.mkdir(parents=True, exist_ok=True)
     db.save(args.db)
-    logger.info("Built database: %d cases x %d dims -> %s",
-                db.n, db.dim, args.db)
+    t_save = time.time() - t0
+    logger.info("Built database: %d cases x %d dims -> %s "
+                "(load %.1fs, %s ingest+device %.1fs, save %.1fs)",
+                db.n, db.dim, args.db, t_load, args.dtype, t_ingest,
+                t_save)
 
 
 def cmd_add(args) -> None:
@@ -88,14 +114,16 @@ def cmd_add(args) -> None:
 
     db = ShardedEmbeddingDatabase.load(
         args.db, dtype=_resolve_dtype(args.dtype))
-    means = _load_patient_means(Path(args.embeddings_path))
+    ids, mat = _load_cases(Path(args.embeddings_path))
     pid_to_label = _labels_from_manifest(args.manifest_path)
-    new_ids = sorted(set(means) - set(db.ids or []))
+    present = set(db.ids or [])
+    keep = [i for i, p in enumerate(ids) if p not in present]
+    new_ids = [ids[i] for i in keep]
     if not new_ids:
         logger.info("No new cases to add (all %d already present)",
-                    len(means))
+                    len(ids))
         return
-    emb = np.stack([means[p] for p in new_ids])
+    emb = mat[keep]
     db.add_cases(emb,
                  labels=([pid_to_label.get(p, "unknown") for p in new_ids]
                          if db.labels is not None else None),
@@ -109,16 +137,31 @@ def cmd_add(args) -> None:
 def cmd_query(args) -> None:
     from emr2a_tpu.retrieval.database import ShardedEmbeddingDatabase
 
+    t0 = time.time()
     db = ShardedEmbeddingDatabase.load(
         args.db, dtype=_resolve_dtype(args.dtype),
         capacity=args.capacity)
-    means = _load_patient_means(Path(args.queries_path))
-    qids = sorted(means)
-    queries = np.stack([means[p] for p in qids])
+    logger.info("Loaded database: %d cases x %d dims (%s) in %.1f s "
+                "(disk + device placement)", db.n, db.dim, args.dtype,
+                time.time() - t0)
+    qids, queries = _load_cases(Path(args.queries_path))
 
     t0 = time.time()
     results = db.search(queries, k=args.k)
     dt = time.time() - t0
+    if args.repeat > 1:
+        # first search paid the jit compile; steady-state latency is
+        # what a serving deployment sees
+        walls = []
+        for _ in range(args.repeat - 1):
+            t0 = time.time()
+            db.search(queries, k=args.k)
+            walls.append(time.time() - t0)
+        logger.info(
+            "Steady-state search over %d repeats: min %.2f ms, "
+            "median %.2f ms (batch of %d queries, incl host sync)",
+            args.repeat - 1, min(walls) * 1e3,
+            float(np.median(walls)) * 1e3, len(qids))
 
     lines = [json.dumps({"query_id": qid, "hits": hits}, ensure_ascii=False)
              for qid, hits in zip(qids, results)]
@@ -175,6 +218,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz of query embeddings (same layout as step2)")
     q.add_argument("--k", type=int, default=5)
     q.add_argument("--capacity", type=int, default=None)
+    q.add_argument("--repeat", type=int, default=1,
+                   help="re-run the search N times and log steady-state "
+                        "latency (first run pays the jit compile)")
     q.add_argument("--output", default=None,
                    help="results jsonl path (default: stdout)")
     q.set_defaults(fn=cmd_query)

@@ -408,3 +408,44 @@ def test_vision_tower_uniform_multi_image_parity(hf, rng):
                         max_new_tokens=6, prompt_bucket=64)
     np.testing.assert_array_equal(np.asarray(mine)[0],
                                   hf_out[0, ids_t.shape[1]:].numpy())
+
+
+def test_vision_group_chunking_exact(hf, rng, monkeypatch):
+    """Vision group-chunking (plan_vision_groups) splits a many-image
+    forward at image boundaries; attention never crosses a frame, so a
+    tiny forced budget must reproduce the one-shot logits bit-exactly,
+    through embed splice, deepstack and generation."""
+    import emr2a_tpu.models.qwen3_vl as q
+
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    parts = [make_pixels(rng, 16, 16) for _ in range(4)]
+    pixels = np.asarray(np.concatenate([p for p, _ in parts], axis=0))
+    grid = tuple(tuple(int(x) for x in g[0]) for _, g in parts)
+    n_img_tok = sum(t * h * w for t, h, w in grid) // 4
+    per_img = n_img_tok // 4
+    ids = [[5, 6] + ([192] + [190] * per_img) * 4 + [9]]
+    ids = np.asarray(ids, np.int64)
+
+    assert q.plan_vision_groups(mycfg.vision, grid) is None  # fits
+    gen = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1)
+    one_shot = np.asarray(gen.generate(
+        ids, pixel_patches=pixels, grid_thw=grid, max_new_tokens=6,
+        prompt_bucket=64))
+
+    monkeypatch.setattr(q, "_VISION_TEMP_BUDGET", 1)  # force max splits
+    groups = q.plan_vision_groups(mycfg.vision, grid)
+    assert groups is not None and len(groups) == 4
+    gen2 = Qwen3VLGenerator(Qwen3VLModel(mycfg), params, eos_token_id=-1)
+    grouped = np.asarray(gen2.generate(
+        ids, pixel_patches=pixels, grid_thw=grid, max_new_tokens=6,
+        prompt_bucket=64))
+    np.testing.assert_array_equal(grouped, one_shot)
+
+    # mixed layouts never group (exactness would need per-image temp
+    # accounting; standardize_images pins grids before batching)
+    mixed = (grid[0], (1, 6, 4)) + grid[2:]
+    assert q.plan_vision_groups(mycfg.vision, mixed) is None
