@@ -59,6 +59,10 @@ from emr2a_tpu.models.qwen3_vl import (
 # are a handful of tokens; the audit template is hundreds.
 _MIN_SHARED_PREFIX = 16
 
+# Auto cap on the transient KV duplicate a batched refill prefill
+# carries before its insert (see ContinuousBatcher.__init__).
+_REFILL_KV_BUDGET = 1 * 2**30
+
 
 class ContinuousBatcher:
     """Slot-based continuous serving over one Qwen3-VL model.
@@ -78,7 +82,8 @@ class ContinuousBatcher:
                  chunk: int = 16, draft_model: Optional[Qwen3VLModel] = None,
                  draft_params=None, spec_k: int = 4,
                  prefill_chunk: Optional[int] = None,
-                 shared_prefix: bool = True):
+                 shared_prefix: bool = True,
+                 refill_batch: Optional[int] = None):
         """``draft_model/draft_params`` turn every slot speculative:
         each chunk iteration becomes a draft-k/verify-1 cycle (the
         draft proposes ``spec_k`` tokens per slot, the target verifies
@@ -98,7 +103,11 @@ class ContinuousBatcher:
         once and splice its KV under every request — each refill then
         prefills only its per-case suffix.  Auto-detected per wave,
         clipped before the first image token, token-exact vs whole
-        prefills (tests/test_serving.py shared-prefix suite)."""
+        prefills (tests/test_serving.py shared-prefix suite).
+
+        ``refill_batch`` caps how many queued requests one batched
+        refill prefills together (auto: sized so the transient KV
+        duplicate the batch carries before its insert stays ~1 GiB)."""
         self.model = model
         self.params = params
         self.config = model.config
@@ -150,6 +159,17 @@ class ContinuousBatcher:
         # wave and spliced under every refill, which then prefills only
         # its per-case suffix.
         self.shared_prefix = bool(shared_prefix)
+        # Batched-refill cap: a Bp-row refill prefill holds a SECOND
+        # Bp-row KV cache alongside the slot state until the insert
+        # consumes it, so unbounded Bp nearly doubles KV residency at
+        # the initial fill — the term that OOMs 8-slot multimodal
+        # serving at 8B.  Auto mode caps the duplicate at ~1 GiB.
+        if refill_batch is None:
+            per_row = self._kv_bytes_per_row()
+            if draft_model is not None:
+                per_row += self._kv_bytes_per_row(draft_model.config.text)
+            refill_batch = max(1, _REFILL_KV_BUDGET // per_row)
+        self.refill_batch = max(1, min(int(refill_batch), self.n_slots))
         self._prefill_fns: Dict = {}
         self._prefix_fns: Dict = {}
         self._insert_fns: Dict[int, object] = {}
@@ -160,6 +180,15 @@ class ContinuousBatcher:
         self._wave_draft_prefix = None
 
     # -- device state -------------------------------------------------------
+
+    def _kv_bytes_per_row(self, text_cfg=None) -> int:
+        cfg = text_cfg or self.config.text
+        kv = self.max_len * cfg.num_kv_heads * cfg.head_dim
+        if self.kv_dtype == "int8":
+            per_layer = 2 * (kv + self.max_len * cfg.num_kv_heads * 4)
+        else:
+            per_layer = 2 * kv * 2  # bf16
+        return per_layer * cfg.num_layers
 
     def _init_state(self):
         B = self.n_slots
@@ -660,7 +689,8 @@ class ContinuousBatcher:
                     return
                 g0 = self._grid_key(requests[queue[0]])
                 take = [queue.pop(0)]
-                while (queue and len(take) < len(free)
+                cap = min(len(free), self.refill_batch)
+                while (queue and len(take) < cap
                        and self._grid_key(requests[queue[0]]) == g0):
                     take.append(queue.pop(0))
                 Bp = 1 << (len(take) - 1).bit_length()

@@ -189,6 +189,10 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--dtype", choices=_DTYPES, default="f32",
                         help="device storage dtype (int8: 4x less HBM "
                              "traffic per scan, |cos err| <~ 1/64)")
+    common.add_argument("--cpu", action="store_true",
+                        help="run on the CPU platform (tests/smoke; the "
+                             "JAX_PLATFORMS env var alone is overridden "
+                             "on some hosts)")
 
     b = sub.add_parser("build", parents=[common],
                        help="build a database from a step2 embeddings.npz")
@@ -232,6 +236,9 @@ def main(argv=None) -> None:
                         format="%(levelname)s %(name)s: %(message)s",
                         stream=sys.stderr)
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
 
 

@@ -132,6 +132,11 @@ def main():
     ap.add_argument("--precision", default="int8",
                     choices=["bf16", "int8", "int4"])
     ap.add_argument("--kv", default="int8", choices=["bf16", "int8"])
+    ap.add_argument("--prefill_chunk", type=int, default=None)
+    ap.add_argument("--waves", type=int, default=1,
+                    help="run the pipeline N times in one process; wave "
+                         "2+ reuses every compiled program = the steady "
+                         "state of a long-lived judge service")
     ap.add_argument("--prompt_bucket", type=int, default=256,
                     help="bucket granularity (generate_stream rounds "
                          "the wave's max prompt up to a multiple)")
@@ -202,7 +207,8 @@ def main():
                        image_processor=proc,
                        prompt_bucket=args.prompt_bucket,
                        precision=be_precision, kv_dtype=args.kv,
-                       standardize_images=side)
+                       standardize_images=side,
+                       prefill_chunk=args.prefill_chunk)
 
     workdir = Path(args.workdir or "/tmp/step4_e2e")
     rng = np.random.RandomState(0)
@@ -221,41 +227,45 @@ def main():
     print(f"relay patch upload: {upload_per_case:.2f} s/case "
           f"({probe['pixel_values'].nbytes/2**20:.1f} MB)", flush=True)
 
-    out_dir = workdir / "out"
-    print(f"running step4 pipeline: {args.cases} cases, "
-          f"serving={args.serving}, slots={args.vlm_batch_size}, "
-          f"max_new={args.max_new} ...", flush=True)
-    t0 = time.time()
-    results = run_vlm_audit_pipeline(
-        exp_dir=str(exp_dir), manifest_path=str(manifest_path),
-        output_dir=str(out_dir), max_samples=args.cases,
-        backend=be, serving=args.serving,
-        vlm_batch_size=args.vlm_batch_size,
-        vlm_max_new_tokens=args.max_new)
-    wall = time.time() - t0
+    rows = []
+    for wave in range(args.waves):
+        out_dir = workdir / f"out_w{wave}"
+        print(f"running step4 pipeline (wave {wave + 1}/{args.waves}): "
+              f"{args.cases} cases, serving={args.serving}, "
+              f"slots={args.vlm_batch_size}, max_new={args.max_new} ...",
+              flush=True)
+        t0 = time.time()
+        results = run_vlm_audit_pipeline(
+            exp_dir=exp_dir, manifest_path=str(manifest_path),
+            output_dir=str(out_dir), max_samples=args.cases,
+            backend=be, serving=args.serving,
+            vlm_batch_size=args.vlm_batch_size,
+            vlm_max_new_tokens=args.max_new,
+            prefill_chunk=args.prefill_chunk)
+        wall = time.time() - t0
 
-    summary = out_dir / "vlm_audit" / "vlm_audit_summary.json"
-    details = out_dir / "vlm_audit" / "vlm_audit_details.jsonl"
-    n_detail = (len(details.read_text().splitlines())
-                if details.exists() else 0)
-    n = len(results.get("audit_results", [])) or args.cases
-    print(f"wall: {wall:.1f} s = {wall/n:.1f} s/case = "
-          f"{3600*n/wall:.1f} cases/hour "
-          f"(artifacts: summary={summary.exists()}, details={n_detail})",
-          flush=True)
-
-    rows = [
-        {"metric": "step4_wall_per_case", "value": round(wall / n, 2),
-         "unit": "s"},
-        {"metric": "step4_cases_per_hour", "value": round(3600 * n / wall, 1),
-         "unit": "cases/hour"},
-        {"metric": "step4_relay_upload_per_case",
-         "value": round(upload_per_case, 2), "unit": "s"},
-    ]
+        summary = out_dir / "vlm_audit_summary.json"
+        details = out_dir / "vlm_audit_details.jsonl"
+        n_detail = (len(details.read_text().splitlines())
+                    if details.exists() else 0)
+        n = len(results.get("audit_results", [])) or args.cases
+        tag = "" if wave == 0 else "_warm"
+        print(f"wave {wave + 1} wall: {wall:.1f} s = {wall/n:.1f} s/case "
+              f"= {3600*n/wall:.1f} cases/hour (artifacts: "
+              f"summary={summary.exists()}, details={n_detail})",
+              flush=True)
+        rows += [
+            {"metric": f"step4_wall_per_case{tag}",
+             "value": round(wall / n, 2), "unit": "s"},
+            {"metric": f"step4_cases_per_hour{tag}",
+             "value": round(3600 * n / wall, 1), "unit": "cases/hour"},
+        ]
+    rows.append({"metric": "step4_relay_upload_per_case",
+                 "value": round(upload_per_case, 2), "unit": "s"})
     for rec in rows:
         rec.update(geometry=args.geometry, precision=args.precision,
                    kv=args.kv, serving=args.serving,
-                   slots=args.vlm_batch_size, cases=n,
+                   slots=args.vlm_batch_size, cases=args.cases,
                    max_new=args.max_new, image_side=side)
         print(json.dumps(rec), flush=True)
         if args.json_out:

@@ -284,3 +284,40 @@ def test_use_pallas_disabled_under_padding(mesh8, rng):
     np.testing.assert_array_equal(np.asarray(ipad), np.asarray(iref))
     np.testing.assert_allclose(np.asarray(vpad), np.asarray(vref),
                                rtol=1e-5)
+
+
+def test_database_cli_matrix_form_ingest(mesh8, rng, tmp_path):
+    """The CLI accepts matrix-form npz (patient_ids + image_matrix —
+    the CV runner's combined_embeddings.npz cache, the only practical
+    layout at 1M cases) and must build a database identical to the
+    per-patient-key layout; query --repeat logs steady-state latency."""
+    import json as _json
+    from emr2a_tpu.retrieval.database_cli import main
+
+    n, dim = 24, 16
+    emb = rng.randn(n, dim).astype(np.float32)
+    ids = [f"p{i:03d}" for i in range(n)]
+    # per-key layout (each patient a (slices, dim) matrix)
+    np.savez(tmp_path / "perkey.npz",
+             **{pid: emb[i][None] for i, pid in enumerate(ids)})
+    # matrix layout
+    np.savez(tmp_path / "matrix.npz", patient_ids=np.asarray(ids),
+             image_matrix=emb)
+    np.savez(tmp_path / "queries.npz", patient_ids=np.asarray(ids[:4]),
+             image_matrix=emb[:4])
+
+    hits = {}
+    for form in ("perkey", "matrix"):
+        main(["build", "--embeddings_path", str(tmp_path / f"{form}.npz"),
+              "--db", str(tmp_path / f"db_{form}.npz"), "--dtype", "int8"])
+        out = tmp_path / f"hits_{form}.jsonl"
+        main(["query", "--db", str(tmp_path / f"db_{form}.npz"),
+              "--queries_path", str(tmp_path / "queries.npz"),
+              "--k", "3", "--dtype", "int8", "--repeat", "3",
+              "--output", str(out)])
+        hits[form] = [_json.loads(l) for l in
+                      out.read_text().splitlines()]
+    assert hits["matrix"] == hits["perkey"]
+    # every query is its own source row: self-match at rank 1
+    for row in hits["matrix"]:
+        assert row["hits"][0]["patient_id"] == row["query_id"]
