@@ -63,6 +63,13 @@ _MIN_SHARED_PREFIX = 16
 # carries before its insert (see ContinuousBatcher.__init__).
 _REFILL_KV_BUDGET = 1 * 2**30
 
+# Auto-batch refills only when the per-row suffix prefill is weight-
+# stream-bound: at 8B the decoder stream is ~25 ms while prefill
+# compute crosses that around ~400 suffix tokens (measured 83-90 ms at
+# 1024), so beyond this length batching is linear work for no stream
+# saving — and measured slightly slower (worse XLA layout at Bp>1).
+_BATCH_REFILL_MAX_SUFFIX = 384
+
 
 class ContinuousBatcher:
     """Slot-based continuous serving over one Qwen3-VL model.
@@ -159,17 +166,18 @@ class ContinuousBatcher:
         # wave and spliced under every refill, which then prefills only
         # its per-case suffix.
         self.shared_prefix = bool(shared_prefix)
-        # Batched-refill cap: a Bp-row refill prefill holds a SECOND
-        # Bp-row KV cache alongside the slot state until the insert
-        # consumes it, so unbounded Bp nearly doubles KV residency at
-        # the initial fill — the term that OOMs 8-slot multimodal
-        # serving at 8B.  Auto mode caps the duplicate at ~1 GiB.
-        if refill_batch is None:
-            per_row = self._kv_bytes_per_row()
-            if draft_model is not None:
-                per_row += self._kv_bytes_per_row(draft_model.config.text)
-            refill_batch = max(1, _REFILL_KV_BUDGET // per_row)
-        self.refill_batch = max(1, min(int(refill_batch), self.n_slots))
+        # Batched-refill policy (resolved per wave in serve()):
+        # batching a refill prefill amortizes only the decoder WEIGHT
+        # STREAM — row compute is linear — so it pays iff the per-row
+        # suffix prefill is stream-bound (short suffixes: the shared-
+        # prefix audit case).  Measured at 8B bucket 1024 whole-prompt
+        # refills, batched was 8% SLOWER than serialized
+        # (BENCH_continuous_r4.json A/B), so long suffixes default to
+        # serial.  A batched refill also holds a SECOND Bp-row KV cache
+        # until its insert, so the auto cap bounds that duplicate at
+        # ~1 GiB — uncapped Bp=8 multimodal 8B serving needed 17.5 GiB.
+        self._refill_batch_arg = refill_batch
+        self.refill_batch = 1
         self._prefill_fns: Dict = {}
         self._prefix_fns: Dict = {}
         self._insert_fns: Dict[int, object] = {}
@@ -336,10 +344,9 @@ class ContinuousBatcher:
 
     def _build_insert(self, Bp: int):
         """Scatter Bp freshly prefilled rows into their slots in one
-        program.  Pad rows (a refill group smaller than its power-of-2
-        batch bucket) carry slot index ``n_slots``, out of range for
-        every (n_slots, ...) state buffer — mode='drop' discards them
-        without a branch."""
+        program.  Sub-batches are exact power-of-2 sizes (refill never
+        pads); mode='drop' stays as a backstop against out-of-range
+        indices."""
         def run(state, cacheB, logits, pos_base, true_len, slots, keys,
                 temp, top_p, d_cacheB=None):
             def scat(buf, rows):
@@ -664,6 +671,19 @@ class ContinuousBatcher:
         if self._state is None:
             self._state = self._init_state()
         self._prefill_shared_prefix(requests)
+        # resolve the refill-batch policy for THIS wave's suffix length
+        # (see __init__): short suffixes batch, long suffixes serialize
+        if self._refill_batch_arg is not None:
+            rb = int(self._refill_batch_arg)
+        elif self.prompt_bucket - self._wave_lp <= _BATCH_REFILL_MAX_SUFFIX:
+            per_row = self._kv_bytes_per_row()
+            if self.draft_model is not None:
+                per_row += self._kv_bytes_per_row(
+                    self.draft_model.config.text)
+            rb = max(1, _REFILL_KV_BUDGET // per_row)
+        else:
+            rb = 1
+        self.refill_batch = max(1, min(rb, self.n_slots))
         default_new = max_new_tokens or self.max_new_tokens
         budgets = [min(int(r.get("max_new_tokens") or default_new),
                        self.max_new_tokens) for r in requests]
@@ -677,11 +697,12 @@ class ContinuousBatcher:
         def refill():
             # Batched refills: the head-of-queue run with one image
             # layout prefills together — one weight stream for up to
-            # n_free suffix prefills instead of one per request (the
-            # initial fill is the big win: n_slots prefills in one
-            # pass).  The group is padded to a power-of-2 batch bucket
-            # so compile count stays logarithmic; pad rows scatter to
-            # slot n_slots and are dropped.
+            # refill_batch suffix prefills instead of one per request
+            # (the initial fill is the big win).  Groups dispatch in
+            # EXACT power-of-2 sub-batches (4+2+1, largest first):
+            # compile count stays logarithmic and no row is ever a pad
+            # — prefill compute is ~linear in rows at long buckets, so
+            # a padded row would cost a full wasted row-prefill.
             while queue:
                 free = [s for s in range(self.n_slots)
                         if slot_req[s] is None]
@@ -693,52 +714,59 @@ class ContinuousBatcher:
                 while (queue and len(take) < cap
                        and self._grid_key(requests[queue[0]]) == g0):
                     take.append(queue.pop(0))
-                Bp = 1 << (len(take) - 1).bit_length()
-                take_pad = take + [take[0]] * (Bp - len(take))
-                rows = [self._prefill_inputs(requests[r]) for r in take_pad]
-                out = self._prefill_batch(rows, Bp, draft=False)
-                cacheB, logits = out
-                slots = free[:len(take)] + [self.n_slots] * (Bp - len(take))
-                keys = jnp.stack([
-                    jax.random.PRNGKey(int(
-                        requests[r]["seed"]
-                        if requests[r].get("seed") is not None else r))
-                    for r in take_pad])
-                args = [self._state, cacheB, logits,
-                        jnp.asarray([r[4] for r in rows], jnp.int32),
-                        jnp.asarray([min(r[3], self.prompt_bucket)
-                                     for r in rows], jnp.int32),
-                        jnp.asarray(slots, jnp.int32), keys,
-                        jnp.asarray([float(requests[r].get("temperature")
-                                           or 0.0) for r in take_pad],
-                                    jnp.float32),
-                        jnp.asarray([float(requests[r].get("top_p") or 1.0)
-                                     for r in take_pad], jnp.float32)]
-                if spec:
-                    args.append(self._prefill_batch(rows, Bp, draft=True))
-                if Bp not in self._insert_fns:
-                    self._insert_fns[Bp] = self._build_insert(Bp)
-                self._state = self._insert_fns[Bp](*args)
-                if spec:
-                    # the spec chunk emits only post-verify tokens, so
-                    # each prefill's first token — sampled by the insert
-                    # program with the slot's temp/top_p/key (argmax for
-                    # greedy rows) — is emitted here; one readback per
-                    # refill group
-                    firsts = np.asarray(self._state["cur"])
-                    for i, r in enumerate(take):
-                        first = int(firsts[slots[i]])
-                        emitted[r].append(first)
-                        if (first == self.eos_token_id
-                                or len(emitted[r]) >= budgets[r]):
-                            done[r] = True  # slot stays free
-                            continue
-                        slot_req[slots[i]] = r
-                        active[slots[i]] = True
-                else:
-                    for i, r in enumerate(take):
-                        slot_req[slots[i]] = r
-                        active[slots[i]] = True
+                while take:
+                    Bp = 1 << (len(take).bit_length() - 1)  # pow2 floor
+                    sub, take = take[:Bp], take[Bp:]
+                    rows = [self._prefill_inputs(requests[r]) for r in sub]
+                    cacheB, logits = self._prefill_batch(rows, Bp,
+                                                         draft=False)
+                    slots = free[:Bp]
+                    free = free[Bp:]
+                    keys = jnp.stack([
+                        jax.random.PRNGKey(int(
+                            requests[r]["seed"]
+                            if requests[r].get("seed") is not None else r))
+                        for r in sub])
+                    args = [self._state, cacheB, logits,
+                            jnp.asarray([r[4] for r in rows], jnp.int32),
+                            jnp.asarray([min(r[3], self.prompt_bucket)
+                                         for r in rows], jnp.int32),
+                            jnp.asarray(slots, jnp.int32), keys,
+                            jnp.asarray(
+                                [float(requests[r].get("temperature")
+                                       or 0.0) for r in sub], jnp.float32),
+                            jnp.asarray(
+                                [float(requests[r].get("top_p") or 1.0)
+                                 for r in sub], jnp.float32)]
+                    if spec:
+                        args.append(self._prefill_batch(rows, Bp,
+                                                        draft=True))
+                    if Bp not in self._insert_fns:
+                        self._insert_fns[Bp] = self._build_insert(Bp)
+                    self._state = self._insert_fns[Bp](*args)
+                    if spec:
+                        # the spec chunk emits only post-verify tokens,
+                        # so each prefill's first token — sampled by the
+                        # insert program with the slot's temp/top_p/key
+                        # (argmax for greedy rows) — is emitted here;
+                        # one readback per refill sub-batch
+                        firsts = np.asarray(self._state["cur"])
+                        for i, r in enumerate(sub):
+                            first = int(firsts[slots[i]])
+                            emitted[r].append(first)
+                            if (first == self.eos_token_id
+                                    or len(emitted[r]) >= budgets[r]):
+                                done[r] = True
+                                # hand the freed slot back for the next
+                                # sub-batch / queue pass
+                                free.append(slots[i])
+                                continue
+                            slot_req[slots[i]] = r
+                            active[slots[i]] = True
+                    else:
+                        for i, r in enumerate(sub):
+                            slot_req[slots[i]] = r
+                            active[slots[i]] = True
 
         def emit_row(r, tokens) -> bool:
             for t in tokens:

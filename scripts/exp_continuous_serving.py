@@ -71,6 +71,15 @@ def main():
                          "(half the slots greedy, half top-k/top-p "
                          "sampled — the VLM-direct multi-temperature "
                          "protocol); one extra chunk-program compile")
+    ap.add_argument("--refill_batch", type=int, default=None,
+                    help="cap batched refill prefills (1 = the round-3 "
+                         "serialized-refill behavior, for A/B)")
+    ap.add_argument("--prefix_len", type=int, default=None,
+                    help="A/B shared-prefix KV: every request opens "
+                         "with this many identical tokens (the audit "
+                         "instruction template) and answers in 16 "
+                         "tokens — prefill-dominated, so the wall "
+                         "isolates the prefix win")
     ap.add_argument("--json_out", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="harness smoke on the CPU platform")
@@ -117,7 +126,8 @@ def main():
     srv = ContinuousBatcher(model, params, n_slots=B,
                             prompt_bucket=args.bucket,
                             max_new_tokens=max_new, eos_token_id=-1,
-                            kv_dtype=args.kv, chunk=args.chunk)
+                            kv_dtype=args.kv, chunk=args.chunk,
+                            refill_batch=args.refill_batch)
     t0 = time.time()
     out = srv.serve(reqs)
     warm = time.time() - t0
@@ -198,6 +208,48 @@ def main():
         emit("continuous_serve_sampled_throughput",
              total_tokens / samp_wall, "tok/s", chunk=args.chunk)
         emit("sampled_vs_greedy_overhead", samp_wall / cont_wall, "x")
+
+    # -- shared-prefix A/B ----------------------------------------------------
+    if args.prefix_len:
+        # Prefill-heavy audit shape: every request opens with the same
+        # prefix_len-token block (the constant instruction template,
+        # judge/prompts.py) and answers briefly.  A/B the SAME wave
+        # with shared-prefix KV on vs off; outputs are token-identical
+        # (tests/test_serving.py), only prefill work changes.
+        pb = [16] * N
+        prefix = rng.randint(2, vocab, (args.prefix_len,), np.int64)
+        preqs = []
+        for i in range(N):
+            tail_len = max(8, plen - args.prefix_len - 5 * (i % 14))
+            tail = rng.randint(2, vocab, (tail_len,), np.int64)
+            preqs.append({"input_ids":
+                          np.concatenate([prefix, tail])[None],
+                          "max_new_tokens": pb[i]})
+        walls = {}
+        for share in (True, False):
+            s2 = ContinuousBatcher(model, params, n_slots=B,
+                                   prompt_bucket=args.bucket,
+                                   max_new_tokens=max(pb),
+                                   eos_token_id=-1, kv_dtype=args.kv,
+                                   chunk=args.chunk,
+                                   shared_prefix=share)
+            t0 = time.time()
+            out = s2.serve(preqs)
+            print(f"prefix[share={share}] compile+serve: "
+                  f"{time.time()-t0:.1f}s", flush=True)
+            assert len(out) == N
+            t0 = time.time()
+            s2.serve(preqs)
+            walls[share] = time.time() - t0
+            print(f"prefix[share={share}]: {walls[share]:.2f}s "
+                  f"({N/walls[share]:.2f} prefills+answers /s)",
+                  flush=True)
+        emit("prefix_shared_wall", walls[True], "s",
+             prefix_len=args.prefix_len, out_tokens=16)
+        emit("prefix_whole_wall", walls[False], "s",
+             prefix_len=args.prefix_len, out_tokens=16)
+        emit("prefix_sharing_speedup", walls[False] / walls[True], "x",
+             prefix_len=args.prefix_len, out_tokens=16)
 
     # -- static baseline ----------------------------------------------------
     if not args.skip_static:
