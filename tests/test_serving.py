@@ -569,3 +569,47 @@ def test_shared_prefix_detection_rules():
     short = [{"input_ids": np.array([[5, 6, 7, 8 + i]], np.int64)}
              for i in range(2)]
     assert srv._shared_prefix_len(short) == 0
+
+
+def test_refill_batch_policy_resolution():
+    """The refill-batch policy resolves per wave: long whole-prompt
+    suffixes serialize (measured slower to batch — prefill compute is
+    row-linear), short shared-prefix suffixes batch under the ~1 GiB
+    duplicate-KV cap; an explicit refill_batch overrides."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+
+    # short suffix (tiny bucket): auto batches up to n_slots
+    srv = ContinuousBatcher(model, params, n_slots=3, prompt_bucket=16,
+                            max_new_tokens=4, eos_token_id=-1)
+    srv.serve(text_requests(2), max_new_tokens=2)
+    assert srv.refill_batch == 3
+
+    # long suffix: auto serializes
+    import emr2a_tpu.models.serving as sv
+    long_bucket = sv._BATCH_REFILL_MAX_SUFFIX + 16
+    srv2 = ContinuousBatcher(model, params, n_slots=3,
+                             prompt_bucket=long_bucket,
+                             max_new_tokens=4, eos_token_id=-1)
+    srv2.serve(text_requests(2), max_new_tokens=2)
+    assert srv2.refill_batch == 1
+
+    # ... unless the wave's shared prefix shrinks the suffix under the
+    # threshold
+    rng = np.random.RandomState(0)
+    prefix = rng.randint(2, 100, (long_bucket - 32,), np.int64)
+    preqs = [{"input_ids": np.concatenate(
+        [prefix, rng.randint(2, 100, (4 + i,), np.int64)])[None]}
+        for i in range(2)]
+    srv3 = ContinuousBatcher(model, params, n_slots=3,
+                             prompt_bucket=long_bucket,
+                             max_new_tokens=4, eos_token_id=-1)
+    srv3.serve(preqs, max_new_tokens=2)
+    assert srv3.refill_batch == 3
+
+    # explicit override wins
+    srv4 = ContinuousBatcher(model, params, n_slots=3, prompt_bucket=16,
+                             max_new_tokens=4, eos_token_id=-1,
+                             refill_batch=1)
+    srv4.serve(text_requests(2), max_new_tokens=2)
+    assert srv4.refill_batch == 1
