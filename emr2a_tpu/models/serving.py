@@ -139,10 +139,12 @@ class ContinuousBatcher:
         # boundary keeps writing garbage KV until the host deactivates
         # it at the next boundary; a speculative chunk advances up to
         # (spec_k + 1) positions per cycle.  TWO chunks of slack, not
-        # one: the tail-phase lookahead (see serve()) dispatches the
-        # next chunk before this chunk's readback, so a budget-
-        # exhausted slot can stay device-active for the already-
-        # dispatched chunk too.  cache_write's (B,) scatter uses
+        # one: the chunk lookahead (see serve(); runs in both the main
+        # and tail phases) dispatches the next chunk before this
+        # chunk's readback, so a budget-exhausted slot can stay
+        # device-active for the already-dispatched chunk too — never
+        # more than one extra chunk, because the following dispatch
+        # sees the updated active mask.  cache_write's (B,) scatter uses
         # mode='drop' as a final backstop (overruns past max_len are
         # dropped, never wrapped into other rows), but the slack is
         # sized so the backstop is never load-bearing.
@@ -788,35 +790,48 @@ class ContinuousBatcher:
                 self.params, self._state, jnp.asarray(active))
             return toks, None
 
-        def survives_chunk() -> bool:
-            # A slot is guaranteed to outlive the lookahead chunk
-            # (absent eos) when its remaining budget exceeds the max
-            # emission of BOTH the still-unread current chunk and the
-            # lookahead; if no slot qualifies the lookahead would
-            # likely be dead work, so skip it.
-            cap = 2 * self.chunk * (self.spec_k + 1 if spec else 1)
-            return any(r is not None and budgets[r] - len(emitted[r]) > cap
-                       for r in slot_req)
+        per_iter = self.spec_k + 1 if spec else 1
+
+        def lookahead_ok() -> bool:
+            # Dispatch the NEXT chunk before blocking on this chunk's
+            # readback, hiding one host<->device round trip per chunk
+            # (~30 ms relay RTT / chunk steps — the dominant continuous
+            # tax; the per-row KV scatter measured free,
+            # BENCH_scatter.json).  Tokens are processed against the
+            # slot map SNAPSHOT taken at dispatch, so a slot refilled
+            # while its lookahead was in flight never mis-credits the
+            # old row's tokens; the new request simply joins one chunk
+            # later.  Main phase: skip the lookahead when some slot's
+            # budget expires within this chunk (its refill would be
+            # delayed a whole chunk — worse than one RTT).  Tail phase
+            # (empty queue): worth it while any slot outlives both
+            # unread chunks.
+            rem = [budgets[r] - len(emitted[r])
+                   for r in slot_req if r is not None]
+            if not rem:
+                return False
+            if queue:
+                return min(rem) > self.chunk * per_iter
+            return max(rem) > 2 * self.chunk * per_iter
 
         try:
             refill()
-            ahead = None
+            pending = None  # (chunk outputs, dispatch-time slot map)
             while any(r is not None for r in slot_req):
-                cur = ahead if ahead is not None else dispatch()
-                # Tail phase (empty queue): the slot map cannot change
-                # at this boundary, so the next chunk's inputs are
-                # already final — enqueue it BEFORE blocking on this
-                # chunk's readback, hiding one host<->device round trip
-                # per chunk.  Tokens past a row's eos/budget are
-                # discarded by emit_row exactly as within-chunk overrun
-                # is; an eos that empties every slot mid-chunk makes the
-                # lookahead dead work once, at stream end.  NOTE: a
-                # budget-exhausted slot stays device-active through the
+                if pending is not None:
+                    (cur, snap), pending = pending, None
+                else:
+                    snap = list(slot_req)
+                    cur = dispatch()
+                # NOTE: a finished slot stays device-active through an
                 # already-dispatched lookahead, writing KV one chunk
                 # deeper — max_len carries 2*chunk*per_iter slack for
                 # exactly this (see __init__); keep the two in sync.
-                ahead = (dispatch()
-                         if not queue and survives_chunk() else None)
+                # A refill insert enqueued after the lookahead applies
+                # to the lookahead's OUTPUT state (async dispatch
+                # order), so the map change never races the chunk.
+                if lookahead_ok():
+                    pending = (dispatch(), list(slot_req))
                 toks, accs = cur
                 if spec:
                     toks = np.asarray(toks)   # (n_slots, chunk, k+1)
@@ -825,16 +840,18 @@ class ContinuousBatcher:
                     toks = np.asarray(toks)[:, :, None]  # (B, chunk, 1)
                     accs = np.zeros(toks.shape[:2], np.int64)
                 for s in range(self.n_slots):
-                    r = slot_req[s]
-                    if r is None:
-                        continue
+                    r = snap[s]
+                    if r is None or done[r]:
+                        continue  # frozen rows emit masked eos padding
                     for c in range(toks.shape[1]):
                         if emit_row(r, toks[s, c, :int(accs[s, c]) + 1]):
                             break
-                    if done[r]:
+                    if done[r] and slot_req[s] == r:
                         slot_req[s] = None
                         active[s] = False
                 refill()
+            # a leftover lookahead at stream end is dead work by
+            # construction (every request is done; its rows are frozen)
         finally:
             # Release the slot state (KV caches — multi-GiB at 8B) and
             # the wave's shared-prefix caches between waves, on failure
