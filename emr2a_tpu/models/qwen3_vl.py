@@ -342,13 +342,17 @@ class QwenVisionTower(nn.Module):
         # quadratically in image count and OOMs batched multimodal
         # prefill.  Mixed layouts keep the flat masked path.
         S_total = x.shape[0]
-        frame_lens = [h * w for t, h, w in grid_thw for _ in range(t)]
-        uniform = (len(frame_lens) > 1
-                   and len(set(frame_lens)) == 1)
+        # Uniformity must be on the (h, w) GRID, not the frame area:
+        # equal-area mixed-aspect frames (e.g. 4x8 + 8x4) have
+        # different 2D rope coordinate sequences, and the batched path
+        # broadcasts the first frame's cos/sin rows to every frame.
+        frame_hws = [(h, w) for t, h, w in grid_thw for _ in range(t)]
+        uniform = (len(frame_hws) > 1
+                   and len(set(frame_hws)) == 1)
         attn_mask = None
         if uniform:
-            seq_f = frame_lens[0]
-            x = x.reshape(len(frame_lens), seq_f, cfg.hidden_size)
+            seq_f = frame_hws[0][0] * frame_hws[0][1]
+            x = x.reshape(len(frame_hws), seq_f, cfg.hidden_size)
             # per-frame rope rows are identical across uniform frames
             cos, sin = cos[:seq_f], sin[:seq_f]
         else:
@@ -688,7 +692,10 @@ def plan_vision_groups(vision_cfg, grid_thw,
         budget = _VISION_TEMP_BUDGET
     if len(grid_thw) <= 1:
         return None
-    if len({(h, w) for t, h, w in grid_thw}) != 1:
+    # The group patch offsets below assume a constant patches_per_img,
+    # so t must be uniform too — a video entry mixed with single-frame
+    # images at one resolution would misalign every later group slice.
+    if len({(t, h, w) for t, h, w in grid_thw}) != 1:
         return None
     t0, h0, w0 = grid_thw[0]
     seq_f = h0 * w0

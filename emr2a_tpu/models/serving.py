@@ -230,7 +230,11 @@ class ContinuousBatcher:
         an explicit ``prefill_chunk`` is rounded DOWN to the nearest
         divisor of ``seq_len`` (the chunked prefill scans equal
         slices — suffix/prefix lengths need not divide evenly by the
-        user's whole-bucket chunk)."""
+        user's whole-bucket chunk).  If that floor collapses below
+        half the requested chunk (prime suffix lengths floor all the
+        way to C=1 — a one-token-per-step scan, a severe compile and
+        runtime cliff), the explicit value is treated as unusable for
+        this seq_len and the auto policy decides instead."""
         if seq_len <= 1:
             return None
         if self._auto_chunk:
@@ -239,8 +243,12 @@ class ContinuousBatcher:
         C = self.prefill_chunk
         if not C or C >= seq_len:
             return None
+        requested = C
         while seq_len % C:
             C -= 1
+        if C * 2 < requested:
+            return auto_prefill_chunk(
+                batch, self.config.text.num_heads, seq_len, self.max_len)
         return C
 
     def _shared_prefix_len(self, requests: Sequence[dict]) -> int:

@@ -85,6 +85,63 @@ def test_qwen3_llm_generate_stream_routes_to_backend():
     assert backend.stream_calls[0]["n_slots"] == 2
 
 
+def test_openai_llm_payload_structure():
+    """OpenAILLM.generate builds the exact chat.completions request the
+    reference sends (llms/openai_llm.py:28-102): one user message whose
+    content list leads with the text part followed by one image_url
+    part per image, each a base64 PNG data URL; model/max_tokens/
+    temperature/top_p forwarded verbatim."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from emr2a_tpu.llms.openai_llm import OpenAILLM
+
+    captured = {}
+
+    class _Completions:
+        def create(self, **kwargs):
+            captured.update(kwargs)
+
+            class _Msg:
+                content = "ok"
+
+            class _Choice:
+                message = _Msg()
+
+            class _Resp:
+                choices = [_Choice()]
+
+            return _Resp()
+
+    class _Client:
+        class chat:
+            completions = _Completions()
+
+    llm = OpenAILLM(api_key="k", model="gpt-4o", client=_Client())
+    imgs = [Image.new("RGB", (8, 8), (255, 0, 0)),
+            Image.new("RGB", (8, 8), (0, 255, 0))]
+    out = llm.generate("describe", images=imgs, max_new_tokens=77,
+                       temperature=0.3, top_p=0.5)
+    assert out == "ok"
+    assert captured["model"] == "gpt-4o"
+    assert captured["max_tokens"] == 77
+    assert captured["temperature"] == 0.3
+    assert captured["top_p"] == 0.5
+    (msg,) = captured["messages"]
+    assert msg["role"] == "user"
+    content = msg["content"]
+    assert content[0] == {"type": "text", "text": "describe"}
+    assert len(content) == 3
+    for part in content[1:]:
+        assert part["type"] == "image_url"
+        url = part["image_url"]["url"]
+        assert url.startswith("data:image/png;base64,")
+        png = base64.b64decode(url.split(",", 1)[1])
+        assert Image.open(io.BytesIO(png)).size == (8, 8)
+
+
 def test_evaluate_accuracy_empty():
     """Empty inputs return zeros instead of dividing by zero (the
     reference crashes, reasoning/evaluator.py:193 — reference bug,

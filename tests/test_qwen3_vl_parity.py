@@ -410,6 +410,49 @@ def test_vision_tower_uniform_multi_image_parity(hf, rng):
                                   hf_out[0, ids_t.shape[1]:].numpy())
 
 
+def test_vision_tower_equal_area_mixed_aspect_parity(hf, rng):
+    """Two frames with EQUAL AREA but different (h, w) grids — e.g.
+    (1, 4, 8) + (1, 8, 4) — must NOT take the batched uniform-frame
+    path: its rope broadcast applies the first frame's 2D coordinates
+    to every frame, which is wrong the moment aspect ratios differ.
+    They must fall back to the flat masked path and match HF exactly."""
+    model, cfg = hf
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_qwen3_vl(sd, vision_depth=3, text_layers=2)
+    mycfg = my_config(cfg)
+
+    p1, g1 = make_pixels(rng, 16, 32)   # grid (1, 4, 8)
+    p2, g2 = make_pixels(rng, 32, 16)   # grid (1, 8, 4)
+    pixels = np.concatenate([p1, p2], axis=0)
+    grid = np.concatenate([g1, g2], axis=0)
+    assert tuple(grid[0][1:]) != tuple(grid[1][1:])
+    assert int(grid[0][1] * grid[0][2]) == int(grid[1][1] * grid[1][2])
+    with torch.no_grad():
+        expected, _ = model.model.visual(torch.tensor(pixels),
+                                         grid_thw=torch.tensor(grid))
+    tower = QwenVisionTower(mycfg.vision)
+    got, _, _ = tower.apply(
+        {"params": params["visual"]}, jnp.asarray(pixels),
+        tuple(tuple(int(x) for x in g) for g in grid))
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               atol=ATOL, rtol=1e-3)
+
+
+def test_plan_vision_groups_requires_uniform_t(hf):
+    """Group patch offsets assume constant patches-per-image, so a
+    multi-frame video mixed with single-frame images at one resolution
+    must refuse to group (mixed t would silently misalign every later
+    group's pixel_patches slice)."""
+    import emr2a_tpu.models.qwen3_vl as q
+
+    _, cfg = hf
+    mycfg = my_config(cfg)
+    mixed_t = ((2, 4, 4), (1, 4, 4), (1, 4, 4))
+    assert q.plan_vision_groups(mycfg.vision, mixed_t, budget=1) is None
+    uniform = ((1, 4, 4),) * 3
+    assert q.plan_vision_groups(mycfg.vision, uniform, budget=1) is not None
+
+
 def test_vision_group_chunking_exact(hf, rng, monkeypatch):
     """Vision group-chunking (plan_vision_groups) splits a many-image
     forward at image boundaries; attention never crosses a frame, so a

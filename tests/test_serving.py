@@ -512,6 +512,33 @@ def test_shared_prefix_int8_kv_and_chunked():
         np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
 
 
+def test_fit_chunk_collapse_falls_back_to_auto():
+    """An explicit prefill_chunk whose divisor floor collapses below
+    half the request (prime suffix lengths floor all the way to C=1 —
+    a one-token-per-step scan) is treated as unusable for that seq_len
+    and the auto policy decides; near misses still round to a divisor.
+    Token parity must hold through a prime-length suffix."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    srv = ContinuousBatcher(model, params, n_slots=2, prompt_bucket=32,
+                            max_new_tokens=8, eos_token_id=-1,
+                            prefill_chunk=8)
+    assert srv._fit_chunk(12, 1) == 6      # divisor 6 >= 8/2: honored
+    assert srv._fit_chunk(13, 1) != 1      # prime: no C=1 cliff
+    assert srv._fit_chunk(31, 1) != 1
+
+    # parity through the prime suffix (32 - 19 = 13), explicit chunk 8
+    reqs = prefix_requests(4, prefix_len=19, seed=11)
+    expected = [
+        Qwen3VLGenerator(model, params, eos_token_id=-1).generate(
+            np.asarray(r["input_ids"]), max_new_tokens=8,
+            prompt_bucket=32)[0]
+        for r in reqs]
+    got = srv.serve(reqs, max_new_tokens=8)
+    for i, (g, e) in enumerate(zip(got, expected)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
+
+
 def test_shared_prefix_speculative():
     """Shared prefix composes with the speculative chunk: both the
     target's AND the draft's prefix caches are prefilled once; greedy
