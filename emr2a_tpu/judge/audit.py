@@ -135,7 +135,7 @@ class VLMAuditModule:
                  backend: Optional[VLMBackend] = None,
                  precision: str = "bf16", kv_dtype: str = "bf16",
                  draft_model_path: Optional[str] = None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None, tp: int = 1):
         self.model_path = model_path
         self.device = device
         self.max_retries = max_retries
@@ -146,7 +146,7 @@ class VLMAuditModule:
             else load_backend(model_path, device, precision=precision,
                               kv_dtype=kv_dtype,
                               draft_model_path=draft_model_path,
-                              prefill_chunk=prefill_chunk)
+                              prefill_chunk=prefill_chunk, tp=tp)
 
     # -- evidence --
 

@@ -84,8 +84,8 @@ def load_backend(model_path: Optional[str], device: str = "tpu",
                  kv_dtype: str = "bf16",
                  draft_model_path: Optional[str] = None,
                  spec_k: int = 4,
-                 prefill_chunk: Optional[int] = None
-                 ) -> Optional[VLMBackend]:
+                 prefill_chunk: Optional[int] = None,
+                 tp: int = 1) -> Optional[VLMBackend]:
     """Resolve a generation backend from a model path.
 
     - ``fake:`` prefix (or ``fake``) → FakeVLMBackend
@@ -106,7 +106,8 @@ def load_backend(model_path: Optional[str], device: str = "tpu",
         return QwenVLBackend(mp, device=device, precision=precision,
                              kv_dtype=kv_dtype,
                              draft_model_path=draft_model_path,
-                             spec_k=spec_k, prefill_chunk=prefill_chunk)
+                             spec_k=spec_k, prefill_chunk=prefill_chunk,
+                             tp=tp)
     except Exception as e:
         logger.error("Failed to load VLM backend from %s: %s", model_path, e)
         return None

@@ -66,7 +66,8 @@ class QwenVLBackend:
                  draft_model_path: Optional[str] = None,
                  draft_config=None, draft_params=None, spec_k: int = 4,
                  decode_chunk: Optional[int] = 64,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 tp: int = 1):
         """``precision="int8"`` quantizes the decoder projections W8A8
         (models/quantize.quantize_qwen_text_params) — decode is weight-
         bandwidth-bound, int8 nearly halves the stream; tiny-model
@@ -105,7 +106,16 @@ class QwenVLBackend:
         C-token slices (models/qwen3_vl.chunked_prefill, bit-identical
         output), bounding the (B, heads, S, L) f32 attention temps that
         otherwise OOM large-batch (B>=16 at 8B) or long-bucket
-        prefill."""
+        prefill.
+
+        ``tp=N`` serves tensor-parallel over N chips: params sharded
+        Megatron-style over a mesh ``model`` axis
+        (training/sharding_rules.py) and KV caches sharded on the
+        kv-head axis (models/qwen3_vl.kv_cache_sharding_specs), for
+        both the plain generator and every continuous batcher.  The
+        bf16 8B judge (16.1 GiB params) needs tp>=2 on 16 GiB v5e
+        chips; token streams are identical to tp=1
+        (tests/test_serving_tp.py)."""
         self.model_path = model_path
         self.prompt_bucket = prompt_bucket
         self.standardize_images = standardize_images
@@ -129,6 +139,18 @@ class QwenVLBackend:
             from emr2a_tpu.encoders.qwen3_vl_encoder import make_image_processor
             image_processor = make_image_processor(config.vision)
         params = _quantize_decoder(params, precision)
+        self.mesh = None
+        if tp and int(tp) > 1:
+            import jax
+            from emr2a_tpu.parallel.mesh import create_mesh
+            from emr2a_tpu.training import param_shardings
+            n = len(jax.devices())
+            if n % int(tp):
+                raise ValueError(f"tp={tp} does not divide the "
+                                 f"{n}-device slice")
+            self.mesh = create_mesh((n // int(tp), int(tp)))
+            params = jax.tree_util.tree_map(
+                jax.device_put, params, param_shardings(params, self.mesh))
         self.config = config
         self.tokenizer = tokenizer
         self.image_processor = image_processor
@@ -137,13 +159,20 @@ class QwenVLBackend:
         self.generator = Qwen3VLGenerator(self.model, params,
                                           eos_token_id=int(eos),
                                           kv_dtype=kv_dtype,
-                                          prefill_chunk=prefill_chunk)
+                                          prefill_chunk=prefill_chunk,
+                                          mesh=self.mesh)
         self.spec_generator = None
         if draft_model_path is not None or draft_params is not None:
             from emr2a_tpu.models.speculative import SpeculativeGenerator
             draft_config, draft_params = _load_qwen3_vl(
                 draft_model_path, draft_config, draft_params, cache_params)
             draft_params = _quantize_decoder(draft_params, precision)
+            if self.mesh is not None:
+                import jax
+                from emr2a_tpu.training import param_shardings
+                draft_params = jax.tree_util.tree_map(
+                    jax.device_put, draft_params,
+                    param_shardings(draft_params, self.mesh))
             self.spec_generator = SpeculativeGenerator(
                 self.model, params, Qwen3VLModel(draft_config),
                 draft_params, spec_k=spec_k, eos_token_id=int(eos),
@@ -347,7 +376,8 @@ class QwenVLBackend:
                 max_new_tokens=max_new_tokens,
                 eos_token_id=self.generator.eos_token_id,
                 kv_dtype=self.generator.kv_dtype,
-                prefill_chunk=self.prefill_chunk, **spec_kwargs)
+                prefill_chunk=self.prefill_chunk, mesh=self.mesh,
+                **spec_kwargs)
         reqs = []
         for i, (ids, patches, grids) in enumerate(rows):
             t = float(requests[i].get("temperature", temperature) or 0.0)

@@ -971,6 +971,43 @@ def empty_kv_cache(text_cfg, batch: int, max_len: int, kv_dtype: str):
             for _ in range(text_cfg.num_layers)]
 
 
+def kv_cache_sharding_specs(text_cfg, mesh, axis: str = "model"):
+    """(values_spec, scales_spec) for the KV cache under tensor
+    parallelism: K/V value buffers (B, L, KV, HD) shard the kv-head
+    axis over the mesh ``axis`` — the same axis the q/k/v projection
+    columns shard on (training/sharding_rules.py), so the cache lives
+    next to the heads that read it and decode attention needs no
+    collective.  int8-mode scale buffers (B, L, KV) shard likewise.
+    When ``axis`` does not divide num_kv_heads the cache stays
+    replicated (weight-only TP still applies; the 8B judge's 8 KV
+    heads divide every power-of-2 axis up to 8)."""
+    from jax.sharding import PartitionSpec as P
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1) \
+        if mesh is not None else 1
+    if n <= 1 or text_cfg.num_kv_heads % n:
+        return P(), P()
+    return P(None, None, axis, None), P(None, None, axis)
+
+
+def constrain_kv_cache(cache, mesh, text_cfg, axis: str = "model"):
+    """Anchor the KV cache's sharding: with_sharding_constraint over
+    every buffer (no-op without a mesh).  Placed where caches are
+    created / enter a program so XLA's SPMD propagation keeps the
+    multi-GiB serving cache head-sharded instead of falling back to
+    replication."""
+    if mesh is None:
+        return cache
+    from jax.sharding import NamedSharding
+    val, scale = kv_cache_sharding_specs(text_cfg, mesh, axis)
+
+    def c(buf):
+        spec = val if buf.ndim == 4 else scale
+        return jax.lax.with_sharding_constraint(
+            buf, NamedSharding(mesh, spec))
+
+    return [tuple(c(b) for b in layer) for layer in cache]
+
+
 def chunked_prefill(model: Qwen3VLModel, params, input_ids, position_ids,
                     true_len, pixel_patches, grid_thw, padded_len: int,
                     max_len: int, cache, C: int, start: int = 0):
@@ -1089,7 +1126,19 @@ class Qwen3VLGenerator:
 
     def __init__(self, model: Qwen3VLModel, params, max_new_tokens: int = 1024,
                  eos_token_id: int = 151645, kv_dtype: str = "bf16",
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None, mesh=None):
+        """``mesh``: serve tensor-parallel over a jax.sharding.Mesh —
+        the bf16-8B mode (16.1 GiB params exceed one v5e).  The caller
+        shards ``params`` over the mesh ``model`` axis
+        (training/sharding_rules.param_shardings + device_put); the
+        generator then anchors the KV cache on the kv-head axis
+        (kv_cache_sharding_specs) so decode attention reads local
+        heads and only the o_proj/down_proj all-reduces cross ICI.
+        Token streams are identical to the single-device path
+        (tests/test_serving_tp.py).  The reference's nearest feature
+        is HF device_map="auto" layer placement
+        (/root/reference/encoders/qwen3_vl_8b_thinking_encoder.py:34);
+        this is real tensor parallelism instead."""
         self.model = model
         self.params = params
         self.config = model.config
@@ -1106,11 +1155,14 @@ class Qwen3VLGenerator:
         # the weights once per chunk.  None = auto: chunk only when
         # the one-shot temps would blow the budget (auto_prefill_chunk).
         self.prefill_chunk = prefill_chunk
+        self.mesh = mesh
         self._jitted: Dict = {}
 
     def _empty_cache(self, batch: int, max_len: int):
-        return empty_kv_cache(self.config.text, batch, max_len,
-                              self.kv_dtype)
+        return constrain_kv_cache(
+            empty_kv_cache(self.config.text, batch, max_len,
+                           self.kv_dtype),
+            self.mesh, self.config.text)
 
     def _sampler(self, temperature: float, top_p: float):
         def sample(logits_last, key):

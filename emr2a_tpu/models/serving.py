@@ -47,8 +47,10 @@ from emr2a_tpu.models.qwen3_vl import (
     auto_prefill_chunk,
     chunked_prefill,
     compute_mrope_position_ids,
+    constrain_kv_cache,
     empty_kv_cache,
     filtered_log_probs,
+    kv_cache_sharding_specs,
     sample_rows,
     spec_accept,
 )
@@ -90,7 +92,8 @@ class ContinuousBatcher:
                  draft_params=None, spec_k: int = 4,
                  prefill_chunk: Optional[int] = None,
                  shared_prefix: bool = True,
-                 refill_batch: Optional[int] = None):
+                 refill_batch: Optional[int] = None,
+                 mesh=None):
         """``draft_model/draft_params`` turn every slot speculative:
         each chunk iteration becomes a draft-k/verify-1 cycle (the
         draft proposes ``spec_k`` tokens per slot, the target verifies
@@ -114,9 +117,22 @@ class ContinuousBatcher:
 
         ``refill_batch`` caps how many queued requests one batched
         refill prefills together (auto: sized so the transient KV
-        duplicate the batch carries before its insert stays ~1 GiB)."""
+        duplicate the batch carries before its insert stays ~1 GiB).
+
+        ``mesh``: serve tensor-parallel over a jax.sharding.Mesh — the
+        bf16-8B mode.  The caller shards ``params`` (and
+        ``draft_params``) over the mesh ``model`` axis
+        (training/sharding_rules.param_shardings + device_put); the
+        batcher anchors every KV cache — slot state, shared-prefix
+        cache, refill prefill caches — on the kv-head axis
+        (models/qwen3_vl.kv_cache_sharding_specs), so decode attention
+        reads local heads and only the row-parallel all-reduces cross
+        ICI.  Emitted streams are identical to the single-device path
+        (tests/test_serving_tp.py pins token parity on the 8-device
+        CPU mesh)."""
         self.model = model
         self.params = params
+        self.mesh = mesh
         self.config = model.config
         self.n_slots = int(n_slots)
         self.prompt_bucket = int(prompt_bucket)
@@ -200,10 +216,27 @@ class ContinuousBatcher:
             per_layer = 2 * kv * 2  # bf16
         return per_layer * cfg.num_layers
 
+    def _shard_cache(self, cache, text_cfg=None):
+        """Eagerly place a host-built cache on the mesh, head-sharded
+        (no-op without a mesh).  The in-program analogue is
+        constrain_kv_cache."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding
+        val, scale = kv_cache_sharding_specs(
+            text_cfg or self.config.text, self.mesh)
+
+        def put(buf):
+            spec = val if buf.ndim == 4 else scale
+            return jax.device_put(buf, NamedSharding(self.mesh, spec))
+
+        return [tuple(put(b) for b in layer) for layer in cache]
+
     def _init_state(self):
         B = self.n_slots
-        cache = empty_kv_cache(self.config.text, B, self.max_len,
-                               self.kv_dtype)
+        cache = self._shard_cache(
+            empty_kv_cache(self.config.text, B, self.max_len,
+                           self.kv_dtype))
         state = {
             "cache": cache,
             "cur": jnp.full((B,), self.eos_token_id, jnp.int32),
@@ -216,9 +249,10 @@ class ContinuousBatcher:
             "top_p": jnp.ones((B,), jnp.float32),
         }
         if self.draft_model is not None:
-            state["d_cache"] = empty_kv_cache(
-                self.draft_model.config.text, B, self.max_len,
-                self.kv_dtype)
+            state["d_cache"] = self._shard_cache(
+                empty_kv_cache(self.draft_model.config.text, B,
+                               self.max_len, self.kv_dtype),
+                self.draft_model.config.text)
         return state
 
     # -- compiled programs ---------------------------------------------------
@@ -284,8 +318,10 @@ class ContinuousBatcher:
         max_len, C = self.max_len, self._fit_chunk(Lp, 1)
 
         def run(params, input_ids, position_ids):
-            cache = empty_kv_cache(model.config.text, 1, max_len,
-                                   self.kv_dtype)
+            cache = constrain_kv_cache(
+                empty_kv_cache(model.config.text, 1, max_len,
+                               self.kv_dtype),
+                self.mesh, model.config.text)
             tl = jnp.asarray([Lp], jnp.int32)
             if C and Lp > C:
                 _, cache = chunked_prefill(
@@ -326,6 +362,7 @@ class ContinuousBatcher:
             else:
                 cache = empty_kv_cache(model.config.text, Bp, max_len,
                                        self.kv_dtype)
+            cache = constrain_kv_cache(cache, self.mesh, model.config.text)
             if C and S2 > C:
                 hidden, cache = chunked_prefill(
                     model, params, input_ids, position_ids, true_len,

@@ -86,7 +86,8 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
                            vlm_batch_size: int = 1,
                            serving: str = "static",
                            vlm_max_new_tokens: int = 1024,
-                           prefill_chunk: Optional[int] = None) -> Dict:
+                           prefill_chunk: Optional[int] = None,
+                           tp: int = 1) -> Dict:
     logger.info("Loading retrieval results from %s", exp_dir)
     retrieval_data = load_retrieval_results_from_folds(exp_dir, max_samples)
 
@@ -159,7 +160,7 @@ def run_vlm_audit_pipeline(exp_dir: Path, manifest_path: Path,
     audit_module = VLMAuditModule(
         model_path=model_path, device=device, precision=precision,
         kv_dtype=kv_dtype, draft_model_path=draft_model_path,
-        prefill_chunk=prefill_chunk,
+        prefill_chunk=prefill_chunk, tp=tp,
         accept_threshold=accept_threshold, reject_threshold=reject_threshold,
         abstain_threshold=abstain_threshold, backend=backend)
 
@@ -322,6 +323,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="audit cases served per prefill+decode; "
                         "decode is weight-bandwidth-bound so N cases "
                         "cost ~1x decode wall time (PERF_NOTES)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="serve the judge tensor-parallel over N "
+                             "chips (Megatron param sharding + kv-head-"
+                             "sharded caches; token streams identical "
+                             "to tp=1 — tests/test_serving_tp.py); "
+                             "needed for the bf16 8B judge, whose "
+                             "16.1 GiB params exceed one v5e chip")
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--accept_threshold", type=float, default=0.7)
@@ -347,7 +355,7 @@ def main(argv=None) -> None:
         model_path=args.model_path, device=args.device, seed=args.seed,
         precision=args.precision, kv_dtype=args.kv_cache,
         draft_model_path=args.draft_model,
-        prefill_chunk=args.prefill_chunk,
+        prefill_chunk=args.prefill_chunk, tp=args.tp,
         vlm_batch_size=args.vlm_batch_size, serving=args.serving,
         vlm_max_new_tokens=args.vlm_max_new_tokens,
         accept_threshold=args.accept_threshold,

@@ -217,6 +217,50 @@ class ShardedEmbeddingDatabase:
             return self._get_topk(k)(q, self.db, n, self.db_scales)
         return self._get_topk(k)(q, self.db, n)
 
+    def topk_chained(self, query: np.ndarray, k: int, repeats: int = 256,
+                     normalize: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """Single-query DEVICE latency probe: run ``repeats``
+        back-to-back (1, dim) scans inside ONE jit (``lax.scan``) and
+        read back one result — wall / repeats is the per-query device
+        latency with the ~30 ms host<->device sync amortized out (the
+        BASELINE "top-5 over 1M < 1 ms p50" protocol; a plain
+        ``search`` call would measure the relay instead).  Each
+        iteration perturbs the query by ``i * 1e-9`` so XLA cannot
+        hoist the loop-invariant scan out of the chain; the
+        perturbation is ~1e-7 of a unit-norm query at the final
+        iteration, far below ranking resolution (pinned equal to the
+        unchained result in tests/test_sharded_database.py)."""
+        k = min(k, self.n)
+        qdtype = jnp.float32 if self.db_scales is not None else self.db.dtype
+        q = jnp.asarray(query, dtype=qdtype).reshape(1, -1)
+        if normalize:
+            q = l2_normalize_rows(q).astype(qdtype)
+        q = jax.device_put(q, NamedSharding(self.mesh, P()))
+        inner = self._get_topk(k)
+        quantized = self.db_scales is not None
+        key = ("chained", k, repeats, quantized)
+        if key not in self._jitted:
+            def run(q, db, n, db_scales=None):
+                def body(carry, i):
+                    qi = q + (i.astype(jnp.float32)
+                              * 1e-9).astype(q.dtype)
+                    args = (qi, db, n) + (
+                        (db_scales,) if db_scales is not None else ())
+                    vals, idx = inner(*args)
+                    return (vals, idx), None
+
+                init = (jnp.zeros((1, k), jnp.float32),
+                        jnp.zeros((1, k), jnp.int32))
+                (vals, idx), _ = jax.lax.scan(
+                    body, init, jnp.arange(repeats))
+                return vals, idx
+
+            self._jitted[key] = jax.jit(run)
+        n = jnp.int32(self.n)
+        if quantized:
+            return self._jitted[key](q, self.db, n, self.db_scales)
+        return self._jitted[key](q, self.db, n)
+
     # -- serving: incremental updates + persistence --
 
     def add_cases(self, embeddings: np.ndarray,

@@ -136,6 +136,60 @@ def build_dinov3_l16(precision):
     return fwd, params, 224
 
 
+def build_qwen3vl_vtap(precision, depth=None):
+    """Qwen3-VL vision-tap ENCODER mode (the flagship judge used as an
+    embedder): last-3 vision-block outputs, mean-pooled per layer,
+    averaged across layers — the hook semantics of
+    /root/reference/encoders/qwen3_vl_8b_thinking_encoder.py:83-150
+    (2B and 8B share the 1152-wide depth-27/24 tower; this measures the
+    8B geometry, the deeper of the two).  448x448 input -> grid
+    (1, 28, 28) = 784 patches.  Device path: uint8 -> normalize ->
+    patchify -> tower taps; the patch ORDER differs from the HF
+    processor's merge-block interleave, which is perf-irrelevant for
+    throughput (identical shapes/FLOPs; the production encoder uses
+    the HF processor on host)."""
+    from scripts.exp_qwen_generate import build_config
+    from emr2a_tpu.models.qwen3_vl import QwenVisionTower
+    from emr2a_tpu.ops.preprocess import CLIP_PREPROCESS, preprocess_images
+    import dataclasses
+
+    vcfg = build_config("8b").vision
+    if depth:
+        vcfg = dataclasses.replace(vcfg, depth=depth,
+                                   deepstack_visual_indexes=(0,))
+    tower = QwenVisionTower(vcfg)
+    size = 448
+    g = size // vcfg.patch_size
+    grid = ((1, g, g),)
+    taps = tuple(range(vcfg.depth - 3, vcfg.depth))
+    patch_dim = (vcfg.temporal_patch_size * vcfg.patch_size ** 2 * 3)
+    params = tower.init(jax.random.PRNGKey(0),
+                        jnp.zeros((g * g, patch_dim), jnp.bfloat16),
+                        grid)["params"]
+    params = _finalize(params, precision)
+    spec = dataclasses.replace(CLIP_PREPROCESS, resize_size=size,
+                               crop_size=size)
+
+    def fwd(p, images_u8):
+        x = preprocess_images(images_u8, spec).astype(jnp.bfloat16)
+        B = x.shape[0]
+        # (B, H, W, 3) -> (B, g*g, patch*patch*3), temporal frame
+        # duplicated (single images repeat their frame, HF processor
+        # behavior)
+        x = x.reshape(B, g, vcfg.patch_size, g, vcfg.patch_size, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, -1)
+        x = jnp.concatenate([x, x], axis=-1)  # temporal_patch_size=2
+
+        def one(patches):
+            _, _, tap_outs = tower.apply({"params": p}, patches, grid,
+                                         tap_layers=taps)
+            return jnp.stack([t.mean(axis=0) for t in tap_outs]).mean(0)
+
+        return jax.vmap(one)(x)
+
+    return fwd, params, size
+
+
 def _l2(feats):
     feats = feats.astype(jnp.float32)
     return feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
@@ -155,6 +209,10 @@ ZOO = {
     "biomedclip": (build_biomedclip, 128, ("bf16", "int8")),
     "clip_l336": (build_clip_l336, 32, ("bf16", "int8")),
     "dinov3_l16": (build_dinov3_l16, 64, ("bf16", "int8")),
+    # B=1 = the reference's per-image hook protocol; B=8 = the TPU-
+    # batched mode (vmapped tower)
+    "qwen3vl_vtap_b1": (build_qwen3vl_vtap, 1, ("bf16",)),
+    "qwen3vl_vtap_b8": (build_qwen3vl_vtap, 8, ("bf16",)),
 }
 
 

@@ -37,7 +37,8 @@ def rng():
 # 1-core box.  `-m "not slow"` is the fast lane (~5 min vs ~16 min
 # full); run the full suite before committing serving or model work.
 _SLOW_MODULES = {
-    "test_serving", "test_speculative", "test_multiprocess_dcn",
+    "test_serving", "test_serving_tp", "test_speculative",
+    "test_multiprocess_dcn",
     "test_training", "test_quantized_tower", "test_baselines",
     "test_qwen3_vl_parity", "test_qwen_encoder_backend",
 }

@@ -321,3 +321,42 @@ def test_database_cli_matrix_form_ingest(mesh8, rng, tmp_path):
     # every query is its own source row: self-match at rank 1
     for row in hits["matrix"]:
         assert row["hits"][0]["patient_id"] == row["query_id"]
+
+
+def test_topk_chained_matches_unchained(mesh8, rng):
+    """The chained single-query latency probe (repeats scans in one
+    jit, 1e-9 perturbation per iteration) must return exactly the
+    plain topk result — int8 and f32 modes."""
+    import jax.numpy as jnp
+    from emr2a_tpu.retrieval.database import ShardedEmbeddingDatabase
+
+    emb = rng.randn(40, 16).astype(np.float32)
+    q = rng.randn(16).astype(np.float32)
+    for dtype in (jnp.float32, jnp.int8):
+        db = ShardedEmbeddingDatabase(emb, dtype=dtype)
+        vref, iref = db.topk(q, k=5)
+        vch, ich = db.topk_chained(q, k=5, repeats=7)
+        np.testing.assert_array_equal(np.asarray(ich), np.asarray(iref))
+        np.testing.assert_allclose(np.asarray(vch), np.asarray(vref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_database_cli_chained_mode(mesh8, rng, tmp_path, caplog):
+    """query --chained logs a device-p50 per-query latency line."""
+    import logging
+    from emr2a_tpu.retrieval.database_cli import main
+
+    n, dim = 24, 16
+    emb = rng.randn(n, dim).astype(np.float32)
+    ids = [f"p{i:03d}" for i in range(n)]
+    np.savez(tmp_path / "emb.npz", patient_ids=np.asarray(ids),
+             image_matrix=emb)
+    main(["build", "--embeddings_path", str(tmp_path / "emb.npz"),
+          "--db", str(tmp_path / "db.npz"), "--dtype", "int8"])
+    with caplog.at_level(logging.INFO,
+                         logger="emr2a_tpu.retrieval.database_cli"):
+        main(["query", "--db", str(tmp_path / "db.npz"),
+              "--queries_path", str(tmp_path / "emb.npz"),
+              "--k", "3", "--dtype", "int8", "--repeat", "8",
+              "--chained", "--output", str(tmp_path / "hits.jsonl")])
+    assert any("device p50" in r.message for r in caplog.records)
