@@ -465,6 +465,16 @@ class QwenTextDecoderLayer(nn.Module):
         return nn.Dense(features, use_bias=use_bias,
                         dtype=self.config.dtype, name=name)(h)
 
+    def _sow_awq(self, name: str, t):
+        """Per-channel activation stats for AWQ calibration
+        (models/awq.py): sown only when the caller makes the
+        ``intermediates`` collection mutable, so the serving path pays
+        nothing.  Stacks (amax, mean-square) over all leading dims."""
+        if self.is_mutable_collection("intermediates"):
+            a = jnp.abs(t.astype(jnp.float32)).reshape(-1, t.shape[-1])
+            self.sow("intermediates", name,
+                     jnp.stack([a.max(axis=0), jnp.mean(a * a, axis=0)]))
+
     @nn.compact
     def __call__(self, x, cos, sin, cache_kv, cache_pos, attn_mask):
         """x: (B, S, D). cache_kv: None or (k, v) with shape
@@ -476,6 +486,7 @@ class QwenTextDecoderLayer(nn.Module):
         hd = cfg.head_dim
 
         h = RMSNorm(cfg.rms_norm_eps, name="input_ln")(x)
+        self._sow_awq("awq_qkv_in", h)
         nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
         if (not self.is_initializing()
                 and self.variables["params"].get("qkv_proj") is not None):
@@ -568,9 +579,11 @@ class QwenTextDecoderLayer(nn.Module):
             probs = probs.astype(cfg.dtype)
             attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_rep)
         attn = attn.reshape(B, S, cfg.num_heads * hd)
+        self._sow_awq("awq_o_in", attn)
         x = x + self._dense("o_proj", d, cfg.attention_bias, attn)
 
         h = RMSNorm(cfg.rms_norm_eps, name="post_ln")(x)
+        self._sow_awq("awq_gu_in", h)
         act = ACTIVATIONS[cfg.hidden_act]
         I = cfg.intermediate_size
         if (not self.is_initializing()
@@ -580,7 +593,9 @@ class QwenTextDecoderLayer(nn.Module):
         else:
             gate = self._dense("gate_proj", I, False, h)
             up = self._dense("up_proj", I, False, h)
-        down = self._dense("down_proj", d, False, act(gate) * up)
+        hu = act(gate) * up
+        self._sow_awq("awq_down_in", hu)
+        down = self._dense("down_proj", d, False, hu)
         return x + down, new_cache
 
 

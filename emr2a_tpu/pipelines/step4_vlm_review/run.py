@@ -275,7 +275,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_samples", type=int, default=30)
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--precision", default="bf16",
-                        choices=["bf16", "int8", "int4"],
+                        choices=["bf16", "int8", "int4", "int4_awq"],
                         help="judge decoder precision; int8 = W8A8 "
                              "serving, ~1.5x decode throughput, "
                              "decision-invariant (tests pin fold-metric "
@@ -284,7 +284,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "RTN carries a real accuracy cost "
                              "(~0.993/linear cosine; only tiny-geometry "
                              "decision invariance is pinned), validate "
-                             "on your cohort before trusting audits")
+                             "on your cohort before trusting audits; "
+                             "int4_awq = int4 plus activation-aware "
+                             "scale folding calibrated on the judge "
+                             "prompts (models/awq.py) — same speed as "
+                             "int4, recovers most of the RTN error")
     parser.add_argument("--kv_cache", default="bf16",
                         choices=["bf16", "int8"],
                         help="judge KV-cache precision; int8 halves KV "
