@@ -93,7 +93,7 @@ class ContinuousBatcher:
                  prefill_chunk: Optional[int] = None,
                  shared_prefix: bool = True,
                  refill_batch: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, ring_decode: bool = True):
         """``draft_model/draft_params`` turn every slot speculative:
         each chunk iteration becomes a draft-k/verify-1 cycle (the
         draft proposes ``spec_k`` tokens per slot, the target verifies
@@ -196,6 +196,14 @@ class ContinuousBatcher:
         # ~1 GiB — uncapped Bp=8 multimodal 8B serving needed 17.5 GiB.
         self._refill_batch_arg = refill_batch
         self.refill_batch = 1
+        # Uniform-ring decode KV layout (see _build_chunk): scalar
+        # write offsets -> dynamic-update-slice instead of per-row
+        # scatter, which an HLO diff + on-chip A/B showed to be the
+        # whole continuous-vs-static program tax (~2.6 ms/step at 8B,
+        # BENCH_decode_tax.json).  The speculative path keeps per-row
+        # offsets — rows advance by variable accepted counts per
+        # cycle, so there is no shared scalar write position.
+        self.ring_decode = bool(ring_decode) and draft_model is None
         self._prefill_fns: Dict = {}
         self._prefix_fns: Dict = {}
         self._insert_fns: Dict[int, object] = {}
@@ -247,6 +255,9 @@ class ContinuousBatcher:
             "key": jax.random.split(jax.random.PRNGKey(0), B),
             "temp": jnp.zeros((B,), jnp.float32),
             "top_p": jnp.ones((B,), jnp.float32),
+            # global decode-step counter, shared by all rows — drives
+            # the uniform-ring KV write slot (see _build_chunk)
+            "step0": jnp.zeros((), jnp.int32),
         }
         if self.draft_model is not None:
             state["d_cache"] = self._shard_cache(
@@ -415,6 +426,7 @@ class ContinuousBatcher:
                 "key": scat(state["key"], keys2),
                 "temp": scat(state["temp"], temp),
                 "top_p": scat(state["top_p"], top_p),
+                "step0": state["step0"],
             }
             if d_cacheB is not None:
                 out["d_cache"] = [
@@ -432,26 +444,56 @@ class ContinuousBatcher:
     def _build_chunk(self, sampling: bool):
         """One chunk program per mode: the pure-greedy variant skips
         the (B, vocab) sort/filter work entirely; the sampling variant
-        serves slots with mixed per-row temperatures."""
+        serves slots with mixed per-row temperatures.
+
+        Decode KV writes use the UNIFORM-RING layout (ring_decode,
+        default): every row writes step s's k/v at physical slot
+        ``P + (s mod R)`` where s is a global step counter shared by
+        all rows and R = max_len - P.  The write offset is a traced
+        SCALAR, so cache_write lowers as dynamic-update-slice — the
+        per-row-offset layout lowered all 4 KV-cache writes per layer
+        as scatter (+GatherScatterIndicesBitpacked index prep), which
+        an optimized-HLO diff + on-chip A/B attributed as the whole
+        ~2.6 ms/step continuous-vs-static program tax at 8B
+        (BENCH_decode_tax.json, docs/PERF_NOTES.md).  Row validity
+        moves into the mask: key slot q holds the row's own token of
+        age (s - q) mod R, valid iff that age <= the row's generated
+        count — exactly the tokens the per-row layout exposed, so
+        streams are token-identical.  A row is device-active for at
+        most max_new + 2*chunk = R steps (the existing slack math), so
+        the ring never overwrites a live token."""
         P, max_len, eos = self.prompt_bucket, self.max_len, self.eos_token_id
         B = self.n_slots
+        R = max_len - P
 
         def run(params, state, active):
             tl, pos_base = state["tl"], state["pos_base"]
             temp, top_p = state["temp"], state["top_p"]
+            step0 = state["step0"]
 
-            def step(carry, _):
+            def step(carry, i):
                 cache, cur, gen, act, keys = carry
                 pos = jnp.broadcast_to(
                     (pos_base + gen)[None, :, None], (3, B, 1))
                 k_idx = jnp.arange(max_len)[None, None, :]
-                mask = jnp.where(
-                    (k_idx < tl[:, None, None])
-                    | ((k_idx >= P) & (k_idx <= (P + gen)[:, None, None])),
-                    0.0, -jnp.inf).astype(jnp.float32)
+                if self.ring_decode:
+                    s = step0 + i
+                    age = jnp.mod(s - (k_idx - P), R)
+                    mask = jnp.where(
+                        (k_idx < tl[:, None, None])
+                        | ((k_idx >= P) & (age <= gen[:, None, None])),
+                        0.0, -jnp.inf).astype(jnp.float32)
+                    write_pos = P + jnp.mod(s, R)       # scalar -> DUS
+                else:
+                    mask = jnp.where(
+                        (k_idx < tl[:, None, None])
+                        | ((k_idx >= P)
+                           & (k_idx <= (P + gen)[:, None, None])),
+                        0.0, -jnp.inf).astype(jnp.float32)
+                    write_pos = P + gen                 # (B,) -> scatter
                 logits, cache = self.model.apply(
                     {"params": params}, cur[:, None], pos,
-                    cache=cache, cache_pos=P + gen, attn_mask=mask)
+                    cache=cache, cache_pos=write_pos, attn_mask=mask)
                 if sampling:
                     split = jax.vmap(jax.random.split)(keys)
                     keys, subs = split[:, 0], split[:, 1]
@@ -468,10 +510,11 @@ class ContinuousBatcher:
             (cache, cur, gen, _, keys), toks = jax.lax.scan(
                 step, (state["cache"], state["cur"], state["gen"], active,
                        state["key"]),
-                None, length=self.chunk)
+                jnp.arange(self.chunk))
             new_state = {"cache": cache, "cur": cur, "gen": gen,
                          "pos_base": pos_base, "tl": tl, "key": keys,
-                         "temp": temp, "top_p": top_p}
+                         "temp": temp, "top_p": top_p,
+                         "step0": step0 + self.chunk}
             return new_state, toks.swapaxes(0, 1)  # (B, chunk)
 
         # donate the state: the chunk updates the KV cache in place

@@ -47,11 +47,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def op_histogram(hlo_text: str) -> dict:
     """Count optimized-HLO instructions by op kind (fusion bodies
-    included — the roots are what XLA actually schedules)."""
+    included — the roots are what XLA actually schedules).
+
+    The opcode is the first lowercase-starting token followed by '('
+    after the '=': type tokens (f32[8,8]{1,0:T(8,128)S(1)}) contain no
+    such pattern — layout annotations are uppercase (T/S) and dtypes
+    are followed by '[' — verified against real axon-relay HLO."""
     counts = collections.Counter()
-    for m in re.finditer(r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*[\w\[\]{},/ ]+\s+"
-                         r"([a-z][\w\-]*)\(", hlo_text, re.M):
-        counts[m.group(1)] += 1
+    for line in hlo_text.splitlines():
+        if "=" not in line or "->" in line:
+            continue
+        m = re.search(r"=\s.*?([a-z][\w\-]*)\(", line)
+        if m:
+            counts[m.group(1)] += 1
     return dict(counts)
 
 
@@ -84,7 +92,7 @@ def main():
 
     from emr2a_tpu.models.qwen3_vl import Qwen3VLModel, empty_kv_cache
     from emr2a_tpu.models.serving import ContinuousBatcher
-    from scripts.exp_qwen_generate import (build_config,
+    from scripts.exp_qwen_generate import (_t, build_config,
                                            materialize_quantized_on_device)
 
     cfg = build_config(args.geometry, layers=args.layers)
@@ -110,12 +118,29 @@ def main():
             "key": jax.random.split(jax.random.PRNGKey(seed), B),
             "temp": jnp.zeros((B,), jnp.float32),
             "top_p": jnp.ones((B,), jnp.float32),
+            "step0": jnp.zeros((), jnp.int32),
         }
         jax.block_until_ready(state)
         return state
 
     active = jnp.ones((B,), bool)
     records = []
+
+    # Through the axon relay jax.block_until_ready returns before the
+    # computation finishes (measured: a 128-step 8B one-call program
+    # "completed" in 2.4 ms); the only reliable fence is a host
+    # readback.  All timings below therefore end with a scalar
+    # np.asarray readback and subtract the measured empty-program RTT.
+    def flush(x):
+        return float(np.asarray(jax.tree_util.tree_leaves(x)[-1]).ravel()[0])
+
+    @jax.jit
+    def _empty(x):
+        return x + 1.0
+
+    float(_empty(jnp.float32(0)))
+    rtt = min(_t(lambda: float(_empty(jnp.float32(i)))) for i in (1, 2, 3))
+    print(f"relay rtt: {rtt*1e3:.1f} ms", flush=True)
 
     def emit(metric, ms_per_step, extra=None):
         rec = {"metric": metric, "value": round(ms_per_step, 4),
@@ -165,47 +190,105 @@ def main():
     st = fresh_state(0)
     t0 = time.time()
     out_state, toks = static_fn(params, st)
-    jax.block_until_ready(toks)
+    flush(toks)
     compile_static = time.time() - t0
     st2 = {k: v for k, v in out_state.items()}
     t0 = time.time()
     out_state, toks = static_fn(params, st2)
-    jax.block_until_ready((out_state, toks))
-    emit("decode_static_scan", (time.time() - t0) / args.steps * 1e3,
+    flush(toks)
+    emit("decode_static_scan",
+         (time.time() - t0 - rtt) / args.steps * 1e3,
          {"compile_s": round(compile_static, 1)})
 
-    # -- 1b. the batcher's REAL chunk program, one call for all steps
-    big = ContinuousBatcher(model, params, n_slots=B, prompt_bucket=P,
-                            max_new_tokens=args.max_new, eos_token_id=-1,
-                            kv_dtype=args.kv, chunk=args.steps)
-    assert big.max_len >= M
-    big.max_len = M  # pin identical cache shapes across variants
-    chunk_big = big._build_chunk(sampling=False)
-    st = fresh_state(1)
+    # -- 1b. the batcher's REAL chunk program, one call for all steps,
+    # in BOTH decode-KV layouts: per-row write offsets (the round-4
+    # layout that lowered 144 scatters/step) and the uniform ring
+    # (scalar offset -> dynamic-update-slice; the round-5 fix).
+    for ring, name in ((False, "decode_chunk_one_call"),
+                       (True, "decode_chunk_one_call_ring")):
+        big = ContinuousBatcher(model, params, n_slots=B, prompt_bucket=P,
+                                max_new_tokens=args.max_new,
+                                eos_token_id=-1, kv_dtype=args.kv,
+                                chunk=args.steps, ring_decode=ring)
+        assert big.max_len >= M
+        big.max_len = M  # pin identical cache shapes across variants
+        chunk_big = big._build_chunk(sampling=False)
+        st = fresh_state(1)
+        t0 = time.time()
+        out_state, toks = chunk_big(params, st, active)
+        flush(toks)
+        compile_big = time.time() - t0
+        t0 = time.time()
+        out_state, toks = chunk_big(params, dict(out_state), active)
+        flush(toks)
+        emit(name, (time.time() - t0 - rtt) / args.steps * 1e3,
+             {"compile_s": round(compile_big, 1)})
+
+    # -- 1c. hypothesis probe: the chunk program with a UNIFORM write
+    # index (scalar cache_pos -> dynamic-update-slice lowering instead
+    # of per-row scatter).  Numerically wrong (rows would overwrite a
+    # shared slot) but structurally identical otherwise — isolates the
+    # scatter lowering's share of the program tax.  If this lands near
+    # the static scan, a ring layout (uniform physical write slot +
+    # mask-side validity) recovers the gap exactly.
+    def build_uniform(n_steps):
+        def run(params, state, act_in):
+            tl, pos_base = state["tl"], state["pos_base"]
+            k_idx = jnp.arange(M)[None, None, :]
+
+            def step(carry, i):
+                cache, cur, gen, act = carry
+                pos = jnp.broadcast_to(
+                    (pos_base + gen)[None, :, None], (3, B, 1))
+                mask = jnp.where(
+                    (k_idx < tl[:, None, None])
+                    | ((k_idx >= P) & (k_idx <= (P + gen)[:, None, None])),
+                    0.0, -jnp.inf).astype(jnp.float32)
+                logits, cache = model.apply(
+                    {"params": params}, cur[:, None], pos,
+                    cache=cache, cache_pos=P + i,   # scalar: the probe
+                    attn_mask=mask)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                act = act & (cur != eos)
+                nxt = jnp.where(act, nxt, eos)
+                gen = jnp.where(act, gen + 1, gen)
+                return (cache, nxt, gen, act), cur
+
+            (cache, cur, gen, _), toks = jax.lax.scan(
+                step, (state["cache"], state["cur"], state["gen"], act_in),
+                jnp.arange(n_steps))
+            return dict(state, cache=cache, cur=cur, gen=gen), \
+                toks.swapaxes(0, 1)
+
+        return jax.jit(run, donate_argnums=(1,))
+
+    uni_fn = build_uniform(args.steps)
+    st = fresh_state(4)
     t0 = time.time()
-    out_state, toks = chunk_big(params, st, active)
-    jax.block_until_ready(toks)
-    compile_big = time.time() - t0
+    out_state, toks = uni_fn(params, st, active)
+    flush(toks)
+    compile_uni = time.time() - t0
     t0 = time.time()
-    out_state, toks = chunk_big(params, dict(out_state), active)
-    jax.block_until_ready((out_state, toks))
-    emit("decode_chunk_one_call", (time.time() - t0) / args.steps * 1e3,
-         {"compile_s": round(compile_big, 1)})
+    out_state, toks = uni_fn(params, dict(out_state), active)
+    flush(toks)
+    emit("decode_chunk_uniform_write",
+         (time.time() - t0 - rtt) / args.steps * 1e3,
+         {"compile_s": round(compile_uni, 1)})
 
     # -- 2. chained chunk calls, outputs held unread (pure dispatch tax)
     chunk_fn = srv._build_chunk(sampling=False)
     n_calls = max(1, args.steps // args.chunk)
     st = fresh_state(2)
     out_state, toks = chunk_fn(params, st, active)   # compile
-    jax.block_until_ready(toks)
+    flush(toks)
     held = []
     t0 = time.time()
     for _ in range(n_calls):
         out_state, toks = chunk_fn(params, out_state, active)
         held.append(toks)
-    jax.block_until_ready((out_state, held))
+    flush(toks)
     emit("decode_chunk_chained_noread",
-         (time.time() - t0) / (n_calls * args.chunk) * 1e3,
+         (time.time() - t0 - rtt) / (n_calls * args.chunk) * 1e3,
          {"calls": n_calls})
 
     # -- 3. chained chunk calls with per-chunk token readback (the
@@ -221,18 +304,23 @@ def main():
     # -- derived attribution
     by = {r["metric"]: r["value"] for r in records}
     program_tax = by["decode_chunk_one_call"] - by["decode_static_scan"]
+    ring_tax = (by["decode_chunk_one_call_ring"]
+                - by["decode_static_scan"])
     dispatch_tax = (by["decode_chunk_chained_noread"]
-                    - by["decode_chunk_one_call"]) * args.chunk
+                    - by["decode_chunk_one_call_ring"]) * args.chunk
     readback_tax = (by["decode_chunk_chained_readback"]
                     - by["decode_chunk_chained_noread"]) * args.chunk
     summary = {
         "metric": "decode_tax_attribution",
-        "program_tax_ms_per_step": round(program_tax, 4),
+        "program_tax_perrow_ms_per_step": round(program_tax, 4),
+        "program_tax_ring_ms_per_step": round(ring_tax, 4),
+        "ring_recovery_ms_per_step": round(program_tax - ring_tax, 4),
         "dispatch_tax_ms_per_chunk": round(dispatch_tax, 3),
         "readback_tax_ms_per_chunk": round(readback_tax, 3),
         "chunk": args.chunk,
         "note": "continuous step cost = static + program_tax + "
-                "(dispatch+readback)/chunk; lookahead hides readback",
+                "(dispatch+readback)/chunk; lookahead hides readback; "
+                "ring (the serving default) replaces per-row",
     }
     records.append(summary)
     print(json.dumps(summary), flush=True)

@@ -640,3 +640,28 @@ def test_refill_batch_policy_resolution():
                              refill_batch=1)
     srv4.serve(text_requests(2), max_new_tokens=2)
     assert srv4.refill_batch == 1
+
+
+def test_ring_decode_matches_per_row_layout():
+    """The uniform-ring decode KV layout (default; scalar write offset
+    -> dynamic-update-slice, the fix for the ~2.6 ms/step continuous
+    program tax, BENCH_decode_tax.json) must be token-identical to the
+    per-row-offset layout across refills, mixed sampling, and ring
+    wrap-around (7 requests over 2 slots runs the global step counter
+    well past R = max_len - prompt_bucket)."""
+    cfg = tiny_config()
+    model, params = init_params(cfg, 0)
+    reqs = text_requests(7, seed=11)
+    reqs[2]["temperature"] = 0.9
+    reqs[5]["temperature"] = 0.7
+
+    kw = dict(n_slots=2, prompt_bucket=16, max_new_tokens=9,
+              eos_token_id=-1, chunk=3)
+    ring = ContinuousBatcher(model, params, **kw)
+    assert ring.ring_decode  # the default layout
+    flat = ContinuousBatcher(model, params, ring_decode=False, **kw)
+    assert not flat.ring_decode
+    got_r = ring.serve(reqs, max_new_tokens=9)
+    got_f = flat.serve(reqs, max_new_tokens=9)
+    for i, (g, e) in enumerate(zip(got_r, got_f)):
+        np.testing.assert_array_equal(g, e, err_msg=f"request {i}")
