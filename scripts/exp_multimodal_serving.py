@@ -64,6 +64,13 @@ def main():
                     help="prompt bucket (default: fits n_images x "
                          "tokens + ~120 text, rounded up to 256)")
     ap.add_argument("--prefill_chunk", type=int, default=None)
+    ap.add_argument("--continuous", action="store_true",
+                    help="also serve 1.5x batch multimodal requests "
+                         "through the ContinuousBatcher (ring decode, "
+                         "shared instruction prefix, auto refill cap, "
+                         "frame-batched vision) with audit-like output "
+                         "budgets — the composed round-4/5 machinery "
+                         "at this batch")
     ap.add_argument("--json_out", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="run on the CPU platform (tiny-geometry smoke)")
@@ -240,6 +247,52 @@ def main():
               f"({vision_add*1000/B:.1f} ms/case) over an equal-length "
               f"text prompt")
         emit("mm_vision_overhead_per_case", vision_add * 1000 / B, "ms")
+
+    if args.continuous:
+        # The composed serving stack at this slot count: every request
+        # repeats the instruction head (shared-prefix candidate — the
+        # batcher clips sharing before the first image run, exactly
+        # the constant-block-first audit prompt layout), carries its
+        # own n_img images, and draws an audit-like output budget.
+        from emr2a_tpu.models.serving import ContinuousBatcher
+        n_req = B + B // 2
+        budgets = [(64, 96, 128, 160, 192, 256, 320, 512)[i % 8]
+                   for i in range(n_req)]
+        ppi = patches_per_image
+        reqs = []
+        for i in range(n_req):
+            tail_i = rng.randint(2, vocab_hi, (20 + i % 9,), np.int64)
+            tail_i[tail_i == cfg.image_token_id] = 2
+            r_ids = np.concatenate([np.asarray(row[:len(head)]),
+                                    np.asarray(row[len(head):seq - 30]),
+                                    tail_i])
+            base = (i % B) * n_img * ppi
+            reqs.append({
+                "input_ids": r_ids[None],
+                "pixel_patches": patches[base:base + n_img * ppi],
+                "grid_thw": (grid,) * n_img,
+                "max_new_tokens": budgets[i],
+            })
+        srv = ContinuousBatcher(model, params, n_slots=B,
+                                prompt_bucket=bucket,
+                                max_new_tokens=max(budgets),
+                                eos_token_id=-1, kv_dtype=args.kv,
+                                chunk=32)
+        t0 = time.time()
+        outs = srv.serve(reqs)
+        compile_wall = time.time() - t0
+        print(f"continuous wave 1 (compiles): {compile_wall:.1f}s",
+              flush=True)
+        t0 = time.time()
+        outs = srv.serve(reqs)
+        wall = time.time() - t0
+        n_tok = sum(len(o) for o in outs)
+        assert n_tok == sum(budgets), (n_tok, sum(budgets))
+        emit("mm_continuous_wall", wall, "s", requests=n_req,
+             out_tokens=n_tok, compile_wall_s=round(compile_wall, 1),
+             slots=B)
+        emit("mm_continuous_throughput", n_tok / wall, "tok/s",
+             requests=n_req, slots=B)
 
 
 if __name__ == "__main__":
