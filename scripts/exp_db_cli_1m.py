@@ -106,6 +106,19 @@ def main():
           f"{mload.group(1) if mload else '?'} s; steady-state "
           f"{msteady.group(0) if msteady else 'n/a'}", flush=True)
 
+    # chained single-query device p50 through the same CLI command —
+    # the BASELINE "<1 ms p50" protocol made user-reachable
+    chain_wall, chain_out = run_cli(
+        ["query", "--db", str(work / "db.npz"),
+         "--queries_path", str(work / "queries.npz"),
+         "--k", str(args.k), "--dtype", args.dtype,
+         "--repeat", "100", "--chained"], cpu=args.cpu)
+    mchain = re.search(r"Chained single-query scan: ([0-9.]+) ms/query",
+                       chain_out)
+    print(f"chained p50: "
+          f"{mchain.group(1) if mchain else 'n/a'} ms/query "
+          f"(wall {chain_wall:.1f} s)", flush=True)
+
     n_hits = len((work / "hits.jsonl").read_text().splitlines())
     assert n_hits == qn, (n_hits, qn)
     # sanity: each query's top hit should be its own perturbed source
@@ -139,6 +152,9 @@ def main():
             {"metric": "db_cli_search_median",
              "value": float(msteady.group(2)), "unit": "ms"},
         ]
+    if mchain:
+        rows.append({"metric": "db_cli_chained_p50",
+                     "value": float(mchain.group(1)), "unit": "ms/query"})
     for rec in rows:
         rec.update(n=args.n, dim=args.dim, dtype=args.dtype,
                    queries=qn, k=args.k)

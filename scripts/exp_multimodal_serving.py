@@ -71,6 +71,14 @@ def main():
                          "frame-batched vision) with audit-like output "
                          "budgets — the composed round-4/5 machinery "
                          "at this batch")
+    ap.add_argument("--skip_static", action="store_true",
+                    help="skip the static generate measurements "
+                         "(continuous-only run)")
+    ap.add_argument("--cont_slots", type=int, default=None,
+                    help="continuous slot count (default: --batch)")
+    ap.add_argument("--cont_max_budget", type=int, default=512,
+                    help="cap the audit-like output budgets — bounds "
+                         "max_len and so the continuous KV residency")
     ap.add_argument("--json_out", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="run on the CPU platform (tiny-geometry smoke)")
@@ -209,7 +217,7 @@ def main():
             print(f"auto prefill_chunk per max_new: {ac}", flush=True)
 
     times = {}
-    for max_new in (lo, hi):
+    for max_new in (() if args.skip_static else (lo, hi)):
         t0 = time.time()
         gen.generate(ids, pixel_patches=patches, grid_thw=grids,
                      max_new_tokens=max_new, prompt_bucket=bucket,
@@ -221,17 +229,19 @@ def main():
                 ids, pixel_patches=patches, grid_thw=grids,
                 max_new_tokens=mn, prompt_bucket=bucket,
                 true_lens=true_lens))
-    per_tok = (times[hi] - times[lo]) / (hi - lo)
-    prefill = times[lo] - lo * per_tok
-    print(f"multimodal prefill @ bucket {bucket} (B={B}, {n_img} img): "
-          f"{prefill*1000:.1f} ms = {prefill*1000/B:.1f} ms/case")
-    print(f"decode: {per_tok*1000:.2f} ms/step = {B/per_tok:.1f} tok/s "
-          f"aggregate")
-    emit("mm_prefill", prefill * 1000, "ms")
-    emit("mm_prefill_per_case", prefill * 1000 / B, "ms")
-    emit("mm_decode", B / per_tok, "tok/s")
+    if times:
+        per_tok = (times[hi] - times[lo]) / (hi - lo)
+        prefill = times[lo] - lo * per_tok
+        print(f"multimodal prefill @ bucket {bucket} (B={B}, {n_img} "
+              f"img): {prefill*1000:.1f} ms = {prefill*1000/B:.1f} "
+              f"ms/case")
+        print(f"decode: {per_tok*1000:.2f} ms/step = {B/per_tok:.1f} "
+              f"tok/s aggregate")
+        emit("mm_prefill", prefill * 1000, "ms")
+        emit("mm_prefill_per_case", prefill * 1000 / B, "ms")
+        emit("mm_decode", B / per_tok, "tok/s")
 
-    if n_img > 0:
+    if n_img > 0 and times:
         # text-only control at the SAME bucket: what the images add
         ids_t = ids.copy()
         ids_t[ids_t == cfg.image_token_id] = 5
@@ -255,8 +265,10 @@ def main():
         # the constant-block-first audit prompt layout), carries its
         # own n_img images, and draws an audit-like output budget.
         from emr2a_tpu.models.serving import ContinuousBatcher
-        n_req = B + B // 2
-        budgets = [(64, 96, 128, 160, 192, 256, 320, 512)[i % 8]
+        slots = args.cont_slots or B
+        n_req = slots + slots // 2
+        budgets = [min(args.cont_max_budget,
+                       (64, 96, 128, 160, 192, 256, 320, 512)[i % 8])
                    for i in range(n_req)]
         ppi = patches_per_image
         reqs = []
@@ -266,33 +278,44 @@ def main():
             r_ids = np.concatenate([np.asarray(row[:len(head)]),
                                     np.asarray(row[len(head):seq - 30]),
                                     tail_i])
-            base = (i % B) * n_img * ppi
+            # HOST-resident patches: serve() holds every request for
+            # the whole wave, so device-resident per-request patch
+            # buffers would pin n_req x ~30 MB of HBM (measured OOM at
+            # slots=32); the refill prefill uploads each request's
+            # patches when its slot opens.
             reqs.append({
                 "input_ids": r_ids[None],
-                "pixel_patches": patches[base:base + n_img * ppi],
+                "pixel_patches": rng.randn(
+                    n_img * ppi, vis.patch_dim).astype(np.float32) * 0.5,
                 "grid_thw": (grid,) * n_img,
                 "max_new_tokens": budgets[i],
             })
-        srv = ContinuousBatcher(model, params, n_slots=B,
+        srv = ContinuousBatcher(model, params, n_slots=slots,
                                 prompt_bucket=bucket,
                                 max_new_tokens=max(budgets),
                                 eos_token_id=-1, kv_dtype=args.kv,
                                 chunk=32)
-        t0 = time.time()
-        outs = srv.serve(reqs)
-        compile_wall = time.time() - t0
-        print(f"continuous wave 1 (compiles): {compile_wall:.1f}s",
-              flush=True)
-        t0 = time.time()
-        outs = srv.serve(reqs)
-        wall = time.time() - t0
+        try:
+            t0 = time.time()
+            outs = srv.serve(reqs)
+            compile_wall = time.time() - t0
+            print(f"continuous wave 1 (compiles): {compile_wall:.1f}s",
+                  flush=True)
+            t0 = time.time()
+            outs = srv.serve(reqs)
+            wall = time.time() - t0
+        except Exception as e:
+            emit("mm_continuous_oom", 0, "note", requests=n_req,
+                 slots=slots, max_budget=max(budgets),
+                 error=repr(e)[:200])
+            raise
         n_tok = sum(len(o) for o in outs)
         assert n_tok == sum(budgets), (n_tok, sum(budgets))
         emit("mm_continuous_wall", wall, "s", requests=n_req,
              out_tokens=n_tok, compile_wall_s=round(compile_wall, 1),
-             slots=B)
+             slots=slots, max_budget=max(budgets))
         emit("mm_continuous_throughput", n_tok / wall, "tok/s",
-             requests=n_req, slots=B)
+             requests=n_req, slots=slots, max_budget=max(budgets))
 
 
 if __name__ == "__main__":
