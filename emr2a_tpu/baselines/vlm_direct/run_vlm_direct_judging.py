@@ -369,11 +369,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "like the reference")
     parser.add_argument("--n_slots", type=int, default=8,
                         help="decode slots for --serving continuous")
+    from emr2a_tpu.utils.compile_cache import add_compile_cache_arg
+    add_compile_cache_arg(parser)
     return parser
 
 
 def main(argv=None, backend: Optional[VLMBackend] = None) -> None:
     args = build_parser().parse_args(argv)
+    from emr2a_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 

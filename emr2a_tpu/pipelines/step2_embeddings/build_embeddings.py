@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "'--fast' = bf16 (~1.7x); '--fast int8' = "
                              "W8A8 trunk (~2.5x, embedding cosine vs f32 "
                              ">= 0.999)")
+    from emr2a_tpu.utils.compile_cache import add_compile_cache_arg
+    add_compile_cache_arg(parser)
     return parser
 
 
@@ -101,6 +103,9 @@ def save_embeddings(embeddings: Dict[str, np.ndarray], output_dir: Path) -> None
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+
+    from emr2a_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
 
     logger.info("Loading manifest from %s", args.manifest_path)
     manifest = load_manifest(args.manifest_path)

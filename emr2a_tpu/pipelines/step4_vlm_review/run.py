@@ -334,6 +334,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "to tp=1 — tests/test_serving_tp.py); "
                              "needed for the bf16 8B judge, whose "
                              "16.1 GiB params exceed one v5e chip")
+    from emr2a_tpu.utils.compile_cache import add_compile_cache_arg
+    add_compile_cache_arg(parser)
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--accept_threshold", type=float, default=0.7)
@@ -345,6 +347,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+
+    from emr2a_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
 
     config_path = Path(args.exp_dir) / "config.json"
     if config_path.exists():

@@ -213,6 +213,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="run on the CPU platform (tests/smoke; the "
                              "JAX_PLATFORMS env var alone is overridden "
                              "on some hosts)")
+    from emr2a_tpu.utils.compile_cache import add_compile_cache_arg
+    add_compile_cache_arg(common)
 
     b = sub.add_parser("build", parents=[common],
                        help="build a database from a step2 embeddings.npz")
@@ -265,6 +267,8 @@ def main(argv=None) -> None:
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from emr2a_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(getattr(args, "compile_cache", None))
     args.fn(args)
 
 

@@ -143,11 +143,18 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--json_out", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--compile_cache", default=None, metavar="DIR",
+                    help="persistent XLA compile cache dir; run twice "
+                         "in fresh processes with the same DIR to "
+                         "measure the cold-wall repayment")
     args = ap.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.compile_cache:
+        from emr2a_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(args.compile_cache)
     import jax.numpy as jnp
 
     from emr2a_tpu.models.qwen3_vl import Qwen3VLModel
