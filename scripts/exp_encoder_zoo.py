@@ -180,12 +180,19 @@ def build_qwen3vl_vtap(precision, depth=None):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, -1)
         x = jnp.concatenate([x, x], axis=-1)  # temporal_patch_size=2
 
-        def one(patches):
-            _, _, tap_outs = tower.apply({"params": p}, patches, grid,
-                                         tap_layers=taps)
-            return jnp.stack([t.mean(axis=0) for t in tap_outs]).mean(0)
-
-        return jax.vmap(one)(x)
+        # Batch through the tower's NATIVE multi-frame path (one flat
+        # patch sequence, B grid entries -> frame-batched attention).
+        # Measured: 121.7 slices/s at B=8 — IDENTICAL to the vmapped
+        # per-image tower (122.3) and 1.5x SLOWER per slice than B=1
+        # (182.1).  Attribution (PERF_NOTES "Qwen3-VL vision-tap"):
+        # each block materializes (8, 16, 784, 784) f32 attention
+        # logits = 315 MB; logits+probs round-trips through HBM cost
+        # ~2.5 ms/block x 27 blocks ~= the measured 65.7 ms forward.
+        # At B=1 the 39 MB logits stay inside XLA's fusion window.
+        _, _, tap_outs = tower.apply({"params": p}, x.reshape(B * g * g, -1),
+                                     grid * B, tap_layers=taps)
+        per_img = [t.reshape(B, g * g, -1).mean(axis=1) for t in tap_outs]
+        return jnp.stack(per_img).mean(0)
 
     return fwd, params, size
 
