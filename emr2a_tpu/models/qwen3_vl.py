@@ -60,6 +60,19 @@ class QwenVisionConfig:
     deepstack_visual_indexes: Tuple[int, ...] = (8, 16, 24)
     hidden_act: str = "gelu_pytorch_tanh"
     dtype: Any = jnp.float32
+    # Frame-batched attention lowering: "einsum" (one batched XLA
+    # chain, (F,H,S,S) f32 logits materialized), "scan" (lax.map per
+    # frame — one frame's logits at a time stay inside XLA's fusion
+    # window), "flash" (Pallas TPU flash kernel), or "auto" (scan on
+    # TPU, einsum elsewhere).  Measured head-to-head on-chip at the
+    # audit shape F8/H16/S784/hd72 (scripts/exp_vision_attn.py,
+    # BENCH_vision_attn.json): scan 0.323 ms/op vs einsum 1.62 vs
+    # flash 1.63 (block_k=128) / 0.90 (pad-1024, block 512) — the
+    # library flash kernel loses 64% of its MXU lanes to hd 72->128
+    # padding, so the fusion-window rewrite wins 5x.  Only the uniform
+    # frame-batched path dispatches on this; the flat/masked
+    # mixed-layout path stays einsum.
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -248,6 +261,15 @@ def permute_to_merge_order(flat: jnp.ndarray,
     return jnp.concatenate(outs, axis=0)
 
 
+def resolve_vision_attn_impl(cfg) -> str:
+    """Static (trace-time) choice of the frame-batched attention
+    lowering; see QwenVisionConfig.attn_impl."""
+    impl = getattr(cfg, "attn_impl", "auto")
+    if impl == "auto":
+        return "scan" if jax.default_backend() == "tpu" else "einsum"
+    return impl
+
+
 class QwenVisionBlock(nn.Module):
     config: QwenVisionConfig
 
@@ -257,7 +279,13 @@ class QwenVisionBlock(nn.Module):
         the tower batches uniform frames — per-frame attention is then
         a batched einsum with NO (seq_total, seq_total) mask, the
         layout that keeps multi-image (audit evidence) prompts from
-        materializing quadratic-in-total-patches f32 logits."""
+        materializing quadratic-in-total-patches f32 logits.  On TPU
+        the frame-batched path lowers per frame under lax.map
+        (cfg.attn_impl="scan") — one frame's 39 MB logits stay inside
+        XLA's fusion window instead of round-tripping HBM, the
+        measured bottleneck of batched vision forwards; 5x over both
+        the batched einsum chain and the Pallas flash kernel
+        (PERF_NOTES, BENCH_vision_attn.json)."""
         cfg = self.config
         d = x.shape[-1]
         S = x.shape[-2]
@@ -271,12 +299,27 @@ class QwenVisionBlock(nn.Module):
         k = k.reshape(lead + (S, cfg.num_heads, hd))
         v = v.reshape(lead + (S, cfg.num_heads, hd))
         q, k = apply_rope(q, k, cos[:, None, :], sin[:, None, :])
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
-                            preferred_element_type=jnp.float32) * hd ** -0.5
-        if attn_mask is not None:
-            logits = logits + attn_mask[None, :, :]
-        probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
-        attn = jnp.einsum("...hqk,...khd->...qhd", probs, v)
+        impl = (resolve_vision_attn_impl(cfg)
+                if attn_mask is None and len(lead) == 1 else "einsum")
+        if impl == "flash":
+            from emr2a_tpu.ops.vision_flash import frame_flash_attention
+            attn = frame_flash_attention(q, k, v, hd ** -0.5)
+        elif impl == "scan":
+            def _one_frame(args):
+                qf, kf, vf = args
+                lg = jnp.einsum("qhd,khd->hqk", qf, kf,
+                                preferred_element_type=jnp.float32) * hd ** -0.5
+                pr = jax.nn.softmax(lg, axis=-1).astype(cfg.dtype)
+                return jnp.einsum("hqk,khd->qhd", pr, vf)
+
+            attn = jax.lax.map(_one_frame, (q, k, v))
+        else:
+            logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                                preferred_element_type=jnp.float32) * hd ** -0.5
+            if attn_mask is not None:
+                logits = logits + attn_mask[None, :, :]
+            probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+            attn = jnp.einsum("...hqk,...khd->...qhd", probs, v)
         attn = attn.reshape(lead + (S, d))
         x = x + nn.Dense(d, dtype=cfg.dtype, name="o_proj")(attn)
 

@@ -182,13 +182,14 @@ def build_qwen3vl_vtap(precision, depth=None):
 
         # Batch through the tower's NATIVE multi-frame path (one flat
         # patch sequence, B grid entries -> frame-batched attention).
-        # Measured: 121.7 slices/s at B=8 — IDENTICAL to the vmapped
-        # per-image tower (122.3) and 1.5x SLOWER per slice than B=1
-        # (182.1).  Attribution (PERF_NOTES "Qwen3-VL vision-tap"):
-        # each block materializes (8, 16, 784, 784) f32 attention
-        # logits = 315 MB; logits+probs round-trips through HBM cost
-        # ~2.5 ms/block x 27 blocks ~= the measured 65.7 ms forward.
-        # At B=1 the 39 MB logits stay inside XLA's fusion window.
+        # Measured: 121.7 slices/s at B=8 with the batched einsum
+        # chain (each block materializes (8, 16, 784, 784) f32 logits
+        # = 315 MB; the logits+probs HBM round-trip ~= the whole
+        # 65.7 ms forward); 163.8 slices/s after the round-5 scan
+        # lowering (lax.map per frame keeps one frame's 39 MB logits
+        # inside XLA's fusion window — PERF_NOTES "attention-lowering
+        # shootout").  B=1 (184.3, flat path, always fused) remains
+        # the encoder-mode recommendation.
         _, _, tap_outs = tower.apply({"params": p}, x.reshape(B * g * g, -1),
                                      grid * B, tap_layers=taps)
         per_img = [t.reshape(B, g * g, -1).mean(axis=1) for t in tap_outs]
